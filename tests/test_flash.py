@@ -1,0 +1,146 @@
+"""Flash kernel ≈ oracle gates — the reference's core test contract
+(test/test.jl:20 `dense_fa ≈ dense_dpa`), extended to every schedule,
+ragged shapes, and the lse statistic."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.ops import flash, oracle
+
+
+def _rand(rng, *shape, dtype=jnp.float32):
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+def _qkv(rng, b, h, n, d, dv=None, dtype=jnp.float32):
+    return (
+        _rand(rng, b, h, n, d, dtype=dtype),
+        _rand(rng, b, h, n, d, dtype=dtype),
+        _rand(rng, b, h, n, dv or d, dtype=dtype),
+    )
+
+
+# Small blocks so multi-block paths and ragged tails are exercised on CPU.
+_BLK = dict(block_q=128, block_kv=128)
+
+
+@pytest.mark.parametrize("n", [128, 256, 300, 30])
+@pytest.mark.parametrize("d", [64, 128])
+def test_dense_fa_matches_oracle(rng, n, d):
+    q, k, v = _qkv(rng, 2, 2, n, d)
+    o, lse = flash.dense_fa(q, k, v, return_lse=True, **_BLK)
+    o_ref, lse_ref = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_dense_fa_dv_not_equal_d(rng):
+    q, k, v = _qkv(rng, 1, 2, 256, 64, dv=128)
+    o = flash.dense_fa(q, k, v, **_BLK)
+    o_ref, _ = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [256, 200])
+def test_causal_fa(rng, n):
+    q, k, v = _qkv(rng, 1, 2, n, 32)
+    o, lse = flash.dense_fa(q, k, v, causal=True, return_lse=True, **_BLK)
+    o_ref, lse_ref = oracle.dense_dpa(q, k, v, causal=True)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_causal_fa_cross_lengths(rng):
+    # decode-style: n_q < n_kv, right-aligned triangle
+    b, h, d = 1, 2, 32
+    nq, nkv = 64, 256
+    q = _rand(rng, b, h, nq, d)
+    k = _rand(rng, b, h, nkv, d)
+    v = _rand(rng, b, h, nkv, d)
+    o = flash.flash_attention(q, k, v, schedule="causal", **_BLK)
+    i = jnp.arange(nq)[:, None]
+    j = jnp.arange(nkv)[None, :]
+    mask = (j <= i + (nkv - nq))[None, None]
+    o_ref, _ = oracle._core(q, k, v, 1 / np.sqrt(d), mask=mask)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,w", [(256, 65), (300, 31), (512, 129)])
+def test_sliding_fa(rng, n, w):
+    q, k, v = _qkv(rng, 1, 2, n, 32)
+    o, lse = flash.sliding_fa(q, k, v, w, return_lse=True, **_BLK)
+    o_ref, lse_ref = oracle.sliding_dpa(q, k, v, w)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,w", [(256, 65), (512, 127), (256, 255)])
+def test_circulant_fa(rng, n, w):
+    q, k, v = _qkv(rng, 1, 2, n, 32)
+    o, lse = flash.circulant_fa(q, k, v, w, return_lse=True, **_BLK)
+    o_ref, lse_ref = oracle.circulant_dpa(q, k, v, w)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(lse, lse_ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,s", [(256, 64), (512, 128), (384, 192)])
+def test_block_fa_1d(rng, n, s):
+    q, k, v = _qkv(rng, 1, 2, n, 32)
+    o = flash.block_fa(q, k, v, s, **_BLK)
+    # oracle: block_dpa over (b, n, h, d) layout
+    qs = q.transpose(0, 2, 1, 3)
+    ks = k.transpose(0, 2, 1, 3)
+    vs = v.transpose(0, 2, 1, 3)
+    o_ref = oracle.block_dpa(qs, ks, vs, s).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_block_fa_2d(rng):
+    b, h, d = 1, 2, 16
+    q = _rand(rng, b, 16, 16, h, d)
+    k = _rand(rng, b, 16, 16, h, d)
+    v = _rand(rng, b, 16, 16, h, d)
+    o = flash.block_fa(q, k, v, 8, **_BLK)
+    o_ref = oracle.block_dpa(q, k, v, 8)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_windowed_fa_1d_overlap(rng):
+    b, h, n, d = 1, 2, 64, 16
+    q = _rand(rng, b, n, h, d)
+    k = _rand(rng, b, n, h, d)
+    v = _rand(rng, b, n, h, d)
+    o = flash.windowed_fa(q, k, v, 16, stride=8, pad=0, **_BLK)
+    o_ref = oracle.windowed_dpa(q, k, v, 16, stride=8, pad=0)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_windowed_fa_2d(rng):
+    b, h, d = 1, 1, 8
+    q = _rand(rng, b, 12, 12, h, d)
+    k = _rand(rng, b, 12, 12, h, d)
+    v = _rand(rng, b, 12, 12, h, d)
+    o = flash.windowed_fa(q, k, v, 4, stride=2, pad=1, **_BLK)
+    o_ref = oracle.windowed_dpa(q, k, v, 4, stride=2, pad=1)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_dense_fa_3d_input(rng):
+    b, h, d = 1, 2, 16
+    q = _rand(rng, b, 4, 4, 4, h, d)
+    k = _rand(rng, b, 4, 4, 4, h, d)
+    v = _rand(rng, b, 4, 4, 4, h, d)
+    o = flash.dense_fa(q, k, v, **_BLK)
+    o_ref, _ = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_bf16_accuracy(rng):
+    q, k, v = _qkv(rng, 1, 2, 256, 64, dtype=jnp.bfloat16)
+    o = flash.dense_fa(q, k, v, **_BLK)
+    o_ref, _ = oracle.dense_dpa(q, k, v)  # f32 internally
+    assert o.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        o.astype(jnp.float32), o_ref.astype(jnp.float32), atol=2e-2, rtol=2e-2
+    )

@@ -1,0 +1,451 @@
+"""Fused flash-attention kernels (Pallas/TPU) — the framework's hot path.
+
+A single schedule-parameterized kernel family replaces the reference's four
+CPU kernel variants (src/dense.jl, src/windowed.jl, src/circulant.jl) and its
+unshipped CUDA kernel (src/cuda/flash.jl): blockwise QKᵀ on the MXU, online
+softmax in VMEM scratch, V-accumulate — FA-2 style (deferred normalization,
+log-sum-exp statistic) rather than the reference's FA-1 per-iteration rescale
+(src/dense.jl:82-91); the ``(l, m)`` observable contract survives as
+``lse = m + log l``, which carries the identical merge algebra used later by
+ring attention (parallel/ring.py).
+
+Grid: ``(batch·heads, q_blocks, kv_steps)`` — the first two dimensions are
+embarrassingly parallel (the role of the reference's ``@threads`` over
+(batch, row-block), src/dense.jl:45) and are marked ``parallel`` so Mosaic
+can split them over TPU megacores; the kv-step dimension is the sequential
+online-softmax scan (``arbitrary``). Block sizes are VMEM-budget knobs, the
+TPU analog of the reference's cache-derived ``Bc/Br`` (src/dense.jl:34-35)
+whose mis-sizing cost it 4–30× (BASELINE.md cache sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.ops import schedule as sched_lib
+from tpu_flash.ops.schedule import (
+    BlockDiagonalSchedule,
+    CausalSchedule,
+    CirculantSchedule,
+    LocalSchedule,
+    Schedule,
+    cdiv,
+)
+from tpu_flash.utils.layout import (
+    flatten_spatial,
+    unflatten_spatial,
+    window,
+    unwindow,
+    window_counts,
+)
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+_LANES = 128
+
+# NT contraction: (m, d) x (n, d) -> (m, n)
+_NT_DIMS = (((1,), (1,)), ((), ()))
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def _pick_block(n: int, preferred: int) -> int:
+    """Largest tile-aligned block ≤ preferred that keeps the grid tight."""
+    return min(preferred, _round_up(max(n, 1), _LANES))
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sched: Schedule,
+    num_steps: int,
+):
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        sij = lax.dot_general(q, k, _NT_DIMS, preferred_element_type=jnp.float32)
+        if sched.has_mask:
+            kv_idx = sched.kv_block_index(i, s)
+            q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(sij, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(sij - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        pv = lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        m = m_scr[:, :1]
+        lse = jnp.where(l > 0.0, m + jnp.log(l), -jnp.inf)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd(
+    q: jnp.ndarray,  # (BH, nq_pad, d), pre-scaled
+    k: jnp.ndarray,  # (BH, nkv_pad, d)
+    v: jnp.ndarray,  # (BH, nkv_pad, dv)
+    sched: Schedule,
+    *,
+    interpret: bool,
+    out_dtype,
+):
+    bh, nq_pad, d = q.shape
+    dv = v.shape[-1]
+    bq, bkv = sched.block_q, sched.block_kv
+    grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
+    num_steps = sched.max_kv_steps
+
+    kernel = functools.partial(_fwd_kernel, sched=sched, num_steps=num_steps)
+
+    flops = 4 * sched.n_q * sched.kv_len * (d + dv) // 2 * bh
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec(
+                (1, bkv, d), lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+            ),
+            pl.BlockSpec(
+                (1, bkv, dv), lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dv), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, dv), out_dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size * 4 + k.size * 4 + v.size * 4, transcendentals=sched.n_q * sched.kv_len
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse[..., 0]
+
+
+def _pad_seq(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    n = x.shape[1]
+    if n == n_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    schedule: str = "dense",
+    scale: Optional[float] = None,
+    radius: int = 0,
+    section: int = 0,
+    block_q: int = 512,
+    block_kv: int = 512,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
+
+    ``schedule`` ∈ {"dense", "causal", "local", "local_causal", "block",
+    "circulant"}. ``radius`` configures local/circulant bands; ``section``
+    the block-diagonal chunk. Sequence lengths are padded to block multiples
+    internally; outputs are sliced back.
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    dv = v.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qf = qf.reshape(b * h, n_q, d)
+    kf = k.reshape(b * h, n_kv, d)
+    vf = v.reshape(b * h, n_kv, dv)
+
+    if schedule == "circulant":
+        if radius > 0:
+            halo_lo = kf[:, -radius:]
+            halo_hi = kf[:, :radius]
+            kf = jnp.concatenate([halo_lo, kf, halo_hi], axis=1)
+            vf = jnp.concatenate([vf[:, -radius:], vf, vf[:, :radius]], axis=1)
+
+    bq = _pick_block(n_q, block_q)
+    kv_len = kf.shape[1]
+    bkv = _pick_block(kv_len, block_kv)
+
+    if schedule == "block":
+        if section <= 0:
+            raise ValueError("block schedule requires section > 0")
+        bq = min(bq, section)
+        bkv = min(bkv, section)
+        while section % bq:
+            bq -= 1
+        while section % bkv:
+            bkv -= 1
+
+    common = dict(n_q=n_q, n_kv=n_kv, block_q=bq, block_kv=bkv)
+    if schedule == "dense":
+        sched = Schedule(**common)
+    elif schedule == "causal":
+        sched = CausalSchedule(**common)
+    elif schedule == "local":
+        sched = LocalSchedule(**common, radius=radius)
+    elif schedule == "local_causal":
+        sched = LocalSchedule(**common, radius=radius, causal=True)
+    elif schedule == "block":
+        sched = BlockDiagonalSchedule(**common, section=section)
+    elif schedule == "circulant":
+        sched = CirculantSchedule(**common, radius=radius)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+
+    qf = _pad_seq(qf, sched.n_q_pad)
+    kf = _pad_seq(kf, sched.n_kv_pad)
+    vf = _pad_seq(vf, sched.n_kv_pad)
+
+    o, lse = _flash_fwd(qf, kf, vf, sched, interpret=interpret, out_dtype=q.dtype)
+    o = o[:, :n_q].reshape(b, h, n_q, dv)
+    lse = lse[:, :n_q].reshape(b, h, n_q)
+    if return_lse:
+        return o, lse
+    return o
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity public API (dense_fa / windowed_fa / block_fa / circulant_fa)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_nd(q, k, v):
+    """Accept (b, h, n, d) or (b, *spatial, h, d); return cores + spatial."""
+    if q.ndim == 4:
+        return q, k, v, None
+    q2, spatial = flatten_spatial(q)
+    k2, _ = flatten_spatial(k)
+    v2, _ = flatten_spatial(v)
+    return q2, k2, v2, spatial
+
+
+def dense_fa(q, k, v, *, scale=None, causal=False, return_lse=False, **kw):
+    """Dense fused attention — reference ``dense_fa`` (src/dense.jl:1-102),
+    1D core plus N-d spatial flattening (src/dense.jl:6-8)."""
+    q, k, v, spatial = _flatten_nd(q, k, v)
+    out = flash_attention(
+        q, k, v, schedule="causal" if causal else "dense", scale=scale,
+        return_lse=return_lse, **kw,
+    )
+    if spatial is not None:
+        if return_lse:
+            return unflatten_spatial(out[0], spatial), out[1]
+        return unflatten_spatial(out, spatial)
+    return out
+
+
+def sliding_fa(q, k, v, window_size: int, *, scale=None, causal=False,
+               return_lse=False, **kw):
+    """Sliding-window (local band) fused attention; block-skipping schedule."""
+    if window_size % 2 != 1:
+        raise ValueError("sliding window must be odd")
+    q, k, v, spatial = _flatten_nd(q, k, v)
+    out = flash_attention(
+        q, k, v, schedule="local_causal" if causal else "local",
+        radius=(window_size - 1) // 2, scale=scale, return_lse=return_lse, **kw,
+    )
+    if spatial is not None:
+        if return_lse:
+            return unflatten_spatial(out[0], spatial), out[1]
+        return unflatten_spatial(out, spatial)
+    return out
+
+
+def circulant_fa(q, k, v, window_size: int, *, scale=None, return_lse=False, **kw):
+    """Circulant-band fused attention — reference ``circulant_fa``
+    (src/circulant.jl:9-118) re-done as a halo-extended contiguous band
+    (no per-element gathers). 1D over the flattened sequence."""
+    if window_size % 2 != 1:
+        raise ValueError("circulant window must be odd")
+    q, k, v, spatial = _flatten_nd(q, k, v)
+    out = flash_attention(
+        q, k, v, schedule="circulant", radius=(window_size - 1) // 2,
+        scale=scale, return_lse=return_lse, **kw,
+    )
+    if spatial is not None:
+        if return_lse:
+            return unflatten_spatial(out[0], spatial), out[1]
+        return unflatten_spatial(out, spatial)
+    return out
+
+
+def _block_major(x, sections):
+    """(b, *spatial, h, d) → (b, h, N, d) with each N-d section contiguous."""
+    b, *spatial, h, d = x.shape
+    nd = len(spatial)
+    # reshape each spatial dim s into (s // sec, sec)
+    new_shape = [b]
+    for s, sec in zip(spatial, sections):
+        new_shape += [s // sec, sec]
+    new_shape += [h, d]
+    xr = x.reshape(new_shape)
+    # order: outer indices first, then inner indices
+    outer = [1 + 2 * i for i in range(nd)]
+    inner = [2 + 2 * i for i in range(nd)]
+    perm = [0] + outer + inner + [1 + 2 * nd, 2 + 2 * nd]
+    xr = xr.transpose(perm)
+    n = math.prod(spatial)
+    return jnp.moveaxis(xr.reshape(b, n, h, d), 1, 2)
+
+
+def _unblock_major(x, spatial, sections):
+    """Inverse of :func:`_block_major` on (b, h, N, d)."""
+    b, h, n, d = x.shape
+    nd = len(spatial)
+    x = jnp.moveaxis(x, 1, 2)  # (b, n, h, d)
+    outer_dims = [s // sec for s, sec in zip(spatial, sections)]
+    xr = x.reshape([b] + outer_dims + list(sections) + [h, d])
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + i]
+    perm += [1 + 2 * nd, 2 + 2 * nd]
+    xr = xr.transpose(perm)
+    return xr.reshape(b, *spatial, h, d)
+
+
+def block_fa(q, k, v, block_size, *, scale=None, return_lse=False, **kw):
+    """Disjoint block-diagonal fused attention — reference ``block_fa``
+    (src/windowed.jl:1, stride = windowsize, pad = 0).
+
+    1D inputs use the block-diagonal schedule directly. N-d inputs are
+    permuted to a block-major layout (pure reshapes/transposes — the TPU
+    replacement for im2col patch copies) so each N-d tile is a contiguous
+    section, then run through the same schedule.
+    """
+    if q.ndim == 4:
+        if isinstance(block_size, (tuple, list)):
+            (block_size,) = block_size
+        if q.shape[2] % block_size:
+            raise ValueError("block_fa requires seq divisible by block_size")
+        return flash_attention(
+            q, k, v, schedule="block", section=block_size, scale=scale,
+            return_lse=return_lse, **kw,
+        )
+    b, *spatial, h, d = q.shape
+    nd = len(spatial)
+    sections = block_size if isinstance(block_size, (tuple, list)) else (block_size,) * nd
+    if any(s % sec for s, sec in zip(spatial, sections)):
+        raise ValueError(f"spatial dims {spatial} must be divisible by {sections}")
+    qb = _block_major(q, sections)
+    kb = _block_major(k, sections)
+    vb = _block_major(v, sections)
+    out = flash_attention(
+        qb, kb, vb, schedule="block", section=math.prod(sections), scale=scale,
+        return_lse=return_lse, **kw,
+    )
+    o = out[0] if return_lse else out
+    o = _unblock_major(o, spatial, sections)
+    if return_lse:
+        return o, out[1]
+    return o
+
+
+def windowed_fa(q, k, v, window_size, *, stride=None, pad=0, scale=None, **kw):
+    """Overlapping windowed fused attention — reference ``windowed_fa``
+    (src/windowed.jl:3-23): window-extract → batched dense flash kernel →
+    fold with coverage averaging. Overlap makes per-window key duplication
+    inherent to the semantics, so extraction (an XLA im2col, not a kernel
+    gather) is the right TPU layout move; the FLOPs still run through the
+    fused kernel. Disjoint windows should use :func:`block_fa` (pure
+    block-skip, no copies).
+    """
+    nd = q.ndim - 3
+    if nd not in (1, 2, 3):
+        raise ValueError(f"expected (batch, *spatial(1..3), heads, d), got {q.shape}")
+    b, *spatial, h, d = q.shape
+    dv = v.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    def to_patches(x):
+        xdim = x.shape[-1]
+        flat = x.reshape(b, *spatial, h * xdim)
+        pw = window(flat, window_size, stride=stride, pad=pad)
+        nwin, wlen = pw.shape[1], pw.shape[2]
+        pw = pw.reshape(b, nwin, wlen, h, xdim)
+        return pw.transpose(0, 1, 3, 2, 4).reshape(b * nwin, h, wlen, xdim), nwin, wlen
+
+    qw, nwin, wlen = to_patches(q)
+    kw_, _, _ = to_patches(k)
+    vw, _, _ = to_patches(v)
+    ow = flash_attention(qw, kw_, vw, schedule="dense", scale=scale, **kw)
+    ow = ow.reshape(b, nwin, h, wlen, dv).transpose(0, 1, 3, 2, 4).reshape(
+        b, nwin, wlen, h * dv
+    )
+    folded = unwindow(ow.astype(jnp.float32), spatial, window_size, stride=stride, pad=pad)
+    counts = window_counts(spatial, window_size, stride=stride, pad=pad)
+    out = jnp.where(counts > 0, folded / jnp.maximum(counts, 1), 0)
+    return out.reshape(b, *spatial, h, dv).astype(q.dtype)

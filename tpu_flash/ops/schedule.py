@@ -1,0 +1,275 @@
+"""Block schedules: which KV blocks each Q block visits, and in-block masks.
+
+This is the TPU-native re-expression of the reference's sparsity machinery.
+Where the reference realizes sparsity either by materializing patch copies
+(windowed, src/windowed.jl:3-23) or by per-element index gathers through
+``cartesian_circulant`` (circulant, src/circulant.jl:68-79), a TPU kernel
+must touch only contiguous, tile-aligned blocks. Every attention pattern is
+therefore described by a :class:`Schedule`:
+
+* a rectangular Pallas grid ``(batch·heads, num_q_blocks, max_kv_steps)``,
+* ``kv_block_index(i, s)`` — which KV block the s-th step of Q block ``i``
+  loads (duplicate indices are coalesced by Pallas's revisit detection, so
+  "skipped" steps cost no DMA),
+* ``step_needed(i, s)`` — predicate gating compute for that step (block
+  skipping: the performance point of the reference's block_fa ≪ dense_fa,
+  logs/compare1.txt),
+* ``mask(q_pos, k_pos)`` — the in-block elementwise mask for partial blocks
+  (band edges, causality, sequence padding).
+
+The circulant band's wraparound seam is removed *before* the kernel by
+extending K/V with halo copies (``k_ext = [k[-p:], k, k[:p]]``), turning the
+mod-N band (reference src/utils.jl:6-17) into a contiguous sliding band over
+the extended sequence — no gathers, at most ``2p`` duplicated rows.
+
+All index arithmetic here runs either at trace time (Python ints) or inside
+index maps / kernels (traced int32); nothing is data-dependent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """Base: dense (every Q block visits every KV block).
+
+    ``n_q``/``n_kv`` are the *real* (unpadded) lengths; ``n_q_pad``/
+    ``n_kv_pad`` the padded lengths the kernel actually runs on. Positions
+    passed to :meth:`mask` are global padded coordinates.
+    """
+
+    n_q: int
+    n_kv: int
+    block_q: int
+    block_kv: int
+
+    @property
+    def n_q_pad(self) -> int:
+        return cdiv(self.n_q, self.block_q) * self.block_q
+
+    @property
+    def n_kv_pad(self) -> int:
+        return cdiv(self.kv_len, self.block_kv) * self.block_kv
+
+    @property
+    def kv_len(self) -> int:
+        """Length of the (possibly extended) KV sequence before padding."""
+        return self.n_kv
+
+    @property
+    def num_q_blocks(self) -> int:
+        return cdiv(self.n_q, self.block_q)
+
+    @property
+    def num_kv_blocks(self) -> int:
+        return cdiv(self.kv_len, self.block_kv)
+
+    @property
+    def max_kv_steps(self) -> int:
+        return self.num_kv_blocks
+
+    def kv_block_index(self, i, s):
+        return s
+
+    def step_needed(self, i, s):
+        return True
+
+    @property
+    def has_mask(self) -> bool:
+        return self.kv_len % self.block_kv != 0
+
+    def mask(self, q_pos, k_pos) -> Optional[jnp.ndarray]:
+        if not self.has_mask:
+            return None
+        return k_pos < self.kv_len
+
+    def _and_kv_pad(self, m, k_pos):
+        if self.kv_len % self.block_kv != 0:
+            m = jnp.logical_and(m, k_pos < self.kv_len)
+        return m
+
+
+DenseSchedule = Schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class CausalSchedule(Schedule):
+    """Lower-triangular attention; trailing KV blocks are skipped entirely.
+
+    With ``n_q < n_kv`` the triangle is right-aligned (query ``i`` sees keys
+    ``j ≤ i + n_kv - n_q``), the convention used for decode steps.
+    """
+
+    @property
+    def _offset(self) -> int:
+        return self.n_kv - self.n_q
+
+    def _last_step(self, i):
+        # Last KV block index containing a visible key for Q block i.
+        last_q = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1)
+        return (last_q + self._offset) // self.block_kv
+
+    def kv_block_index(self, i, s):
+        return jnp.minimum(s, self._last_step(i))
+
+    def step_needed(self, i, s):
+        return s <= self._last_step(i)
+
+    @property
+    def has_mask(self) -> bool:
+        return True
+
+    def mask(self, q_pos, k_pos):
+        return self._and_kv_pad(k_pos <= q_pos + self._offset, k_pos)
+
+
+@dataclasses.dataclass(frozen=True)
+class LocalSchedule(Schedule):
+    """Sliding-window band: query ``i`` sees keys ``|i - j| ≤ radius``
+    (clamped at sequence edges, no wraparound). ``causal=True`` additionally
+    restricts to ``j ≤ i``."""
+
+    radius: int = 0
+    causal: bool = False
+
+    def __post_init__(self):
+        if self.radius < 0:
+            raise ValueError("radius must be ≥ 0")
+
+    def _first_step(self, i):
+        return jnp.maximum(0, (i * self.block_q - self.radius) // self.block_kv)
+
+    def _last_block(self, i):
+        last_q = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1)
+        return jnp.minimum(
+            self.num_kv_blocks - 1, (last_q + self.radius) // self.block_kv
+        )
+
+    @property
+    def max_kv_steps(self) -> int:
+        span = self.block_q + 2 * self.radius
+        return min(self.num_kv_blocks, cdiv(span, self.block_kv) + 1)
+
+    def kv_block_index(self, i, s):
+        return jnp.minimum(self._first_step(i) + s, self._last_block(i))
+
+    def step_needed(self, i, s):
+        return self._first_step(i) + s <= self._last_block(i)
+
+    @property
+    def has_mask(self) -> bool:
+        return True
+
+    def mask(self, q_pos, k_pos):
+        m = jnp.abs(q_pos - k_pos) <= self.radius
+        if self.causal:
+            m = jnp.logical_and(m, k_pos <= q_pos)
+        return self._and_kv_pad(m, k_pos)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockDiagonalSchedule(Schedule):
+    """Disjoint block-diagonal attention with section size ``section``:
+    query ``i`` sees keys in the same ``section``-sized chunk. This is the
+    one-kernel form of the reference's ``block_fa`` (src/windowed.jl:1 —
+    stride = windowsize, pad = 0), visiting only the diagonal blocks instead
+    of materializing patches.
+
+    Requires ``section % block_q == 0 and section % block_kv == 0`` (the
+    wrapper picks conforming block sizes).
+    """
+
+    section: int = 0
+
+    def __post_init__(self):
+        if self.section <= 0:
+            raise ValueError("section must be positive")
+        if self.section % self.block_q or self.section % self.block_kv:
+            raise ValueError(
+                f"section {self.section} must be a multiple of block_q "
+                f"{self.block_q} and block_kv {self.block_kv}"
+            )
+
+    @property
+    def max_kv_steps(self) -> int:
+        return self.section // self.block_kv
+
+    def kv_block_index(self, i, s):
+        section_idx = (i * self.block_q) // self.section
+        return section_idx * (self.section // self.block_kv) + s
+
+    def step_needed(self, i, s):
+        return self.kv_block_index(i, s) < self.num_kv_blocks
+
+    @property
+    def has_mask(self) -> bool:
+        # Partial trailing section needs the padding mask.
+        return self.kv_len % self.block_kv != 0 or self.n_q % self.section != 0
+
+    def mask(self, q_pos, k_pos):
+        if not self.has_mask:
+            return None
+        m = (q_pos // self.section) == (k_pos // self.section)
+        return self._and_kv_pad(m, k_pos)
+
+
+@dataclasses.dataclass(frozen=True)
+class CirculantSchedule(Schedule):
+    """Wraparound band over halo-extended K/V.
+
+    The kernel runs against ``k_ext = concat([k[-radius:], k, k[:radius]])``
+    (length ``n_kv + 2·radius``); query ``i`` attends extended positions
+    ``[i, i + 2·radius]`` — a contiguous band, so the mod-N seam of the
+    reference's scalar-gather inner loop (src/circulant.jl:68-79) never
+    materializes inside the kernel.
+    """
+
+    radius: int = 0
+
+    def __post_init__(self):
+        if self.radius < 0:
+            raise ValueError("radius must be ≥ 0")
+        if 2 * self.radius + 1 > self.n_kv:
+            raise ValueError("circulant window larger than sequence")
+
+    @property
+    def kv_len(self) -> int:
+        return self.n_kv + 2 * self.radius
+
+    def _first_step(self, i):
+        return (i * self.block_q) // self.block_kv
+
+    def _last_block(self, i):
+        last_q = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1)
+        return jnp.minimum(
+            self.num_kv_blocks - 1, (last_q + 2 * self.radius) // self.block_kv
+        )
+
+    @property
+    def max_kv_steps(self) -> int:
+        span = self.block_q + 2 * self.radius
+        return min(self.num_kv_blocks, cdiv(span, self.block_kv) + 1)
+
+    def kv_block_index(self, i, s):
+        return jnp.minimum(self._first_step(i) + s, self._last_block(i))
+
+    def step_needed(self, i, s):
+        return self._first_step(i) + s <= self._last_block(i)
+
+    @property
+    def has_mask(self) -> bool:
+        return True
+
+    def mask(self, q_pos, k_pos):
+        delta = k_pos - q_pos
+        m = jnp.logical_and(delta >= 0, delta <= 2 * self.radius)
+        return self._and_kv_pad(m, k_pos)
