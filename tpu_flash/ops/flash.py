@@ -185,6 +185,33 @@ def _flash_fwd(
     return o, lse[..., 0]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fa(q, k, v, sched, interpret, out_dtype):
+    """Differentiable core on padded (BH, n_pad, d) arrays → (o, lse).
+
+    The surrounding scaling / padding / halo-concat ops stay outside this
+    boundary, so their transposes (e.g. the circulant halo fold-back) are
+    handled by XLA autodiff; only the attention itself has a custom VJP.
+    """
+    return _flash_fwd(q, k, v, sched, interpret=interpret, out_dtype=out_dtype)
+
+
+def _fa_fwd(q, k, v, sched, interpret, out_dtype):
+    o, lse = _flash_fwd(q, k, v, sched, interpret=interpret, out_dtype=out_dtype)
+    return (o, lse), (q, k, v, o, lse)
+
+
+def _fa_bwd(sched, interpret, out_dtype, res, cts):
+    from tpu_flash.ops.flash_bwd import flash_backward
+
+    q, k, v, o, lse = res
+    do, dlse = cts
+    return flash_backward(q, k, v, o, lse, do, dlse, sched, interpret=interpret)
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
+
+
 def _pad_seq(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     n = x.shape[1]
     if n == n_pad:
@@ -269,7 +296,7 @@ def flash_attention(
     kf = _pad_seq(kf, sched.n_kv_pad)
     vf = _pad_seq(vf, sched.n_kv_pad)
 
-    o, lse = _flash_fwd(qf, kf, vf, sched, interpret=interpret, out_dtype=q.dtype)
+    o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     lse = lse[:, :n_q].reshape(b, h, n_q)
     if return_lse:

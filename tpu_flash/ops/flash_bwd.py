@@ -1,0 +1,229 @@
+"""Flash-attention backward kernels (Pallas/TPU) + custom_vjp wiring.
+
+The reference's backward passes never ran (undefined variables in
+src/dense.jl:104-167 and src/naive/dense.jl:37-56; README "needs testing"),
+and its C++ OpenMP backward has an unsynchronized dK/dV accumulation race
+(src_cpp/FlashAttention.cpp:300-312). This module is the design done right:
+
+* recompute-from-LSE (FA-2): P_ij = exp(S_ij − lse_i) — no O(N²) residuals,
+  only (q, k, v, o, lse);
+* two kernels with disjoint write sets:
+  - **dQ kernel**: Q-major grid (same schedule as forward) — each dQ tile
+    has one writer;
+  - **dK/dV kernel**: KV-major grid using the schedule's *transposed*
+    iteration (``q_block_index``) — each dK/dV tile has one writer. No
+    atomics, no races, fully parallel over (batch·heads, kv-blocks).
+* the LSE cotangent folds into the delta term (∂lse_i/∂s_ij = p_ij), so
+  ring-attention partials remain differentiable through their merge.
+
+Masking rides through the recompute: masked logits sit at the large negative
+mask value, so ``exp(s − lse)`` underflows to exactly 0 — no second mask
+application needed beyond the forward's.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.ops.schedule import Schedule
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+_NT = (((1,), (1,)), ((), ()))  # (m,d)x(n,d) -> (m,n)
+_NN = (((1,), (0,)), ((), ()))  # (m,k)x(k,n) -> (m,n)
+_TN = (((0,), (0,)), ((), ()))  # (k,m)x(k,n) -> (m,n)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, sched: Schedule, num_steps: int,
+):
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        lse = jnp.expand_dims(lse_ref[0, 0], -1)  # (bq, 1)
+        delta = jnp.expand_dims(delta_ref[0, 0], -1)
+        do = do_ref[0]
+
+        sij = lax.dot_general(q, k, _NT, preferred_element_type=jnp.float32)
+        if sched.has_mask:
+            kv_idx = sched.kv_block_index(i, s)
+            q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+        p = jnp.exp(sij - lse)
+        dp = lax.dot_general(
+            do.astype(v.dtype), v, _NT, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq_acc[...] += lax.dot_general(
+            ds.astype(k.dtype), k, _NN, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, sched: Schedule, num_steps: int,
+):
+    j = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(sched.q_step_needed(j, s))
+    def _step():
+        q_idx = sched.q_block_index(j, s)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        lse = jnp.expand_dims(lse_ref[0, 0], -1)
+        delta = jnp.expand_dims(delta_ref[0, 0], -1)
+        do = do_ref[0]
+
+        sij = lax.dot_general(q, k, _NT, preferred_element_type=jnp.float32)
+        if sched.has_mask:
+            q_pos = q_idx * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            k_pos = j * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+        p = jnp.exp(sij - lse)  # (bq, bkv)
+        dv_acc[...] += lax.dot_general(
+            p.astype(do.dtype), do, _TN, preferred_element_type=jnp.float32
+        )
+        dp = lax.dot_general(
+            do.astype(v.dtype), v, _NT, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)  # (bq, bkv)
+        dk_acc[...] += lax.dot_general(
+            ds.astype(q.dtype), q, _TN, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def flash_backward(
+    q, k, v, o, lse, do, dlse, sched: Schedule, *, interpret: bool
+):
+    """Compute (dq, dk, dv) on padded (BH, n_pad, d) arrays.
+
+    ``q`` is the pre-scaled query (the forward folded the 1/√d scale into
+    it), so no scale appears here — the outer autodiff of the scaling op
+    restores it. ``dlse`` (cotangent of the returned lse) folds into the
+    delta term: ds_ij = p_ij·(dp_ij − (Δ_i − dlse_i)).
+    """
+    bh, nq_pad, d = q.shape
+    nkv_pad = k.shape[1]
+    dv_dim = v.shape[-1]
+    bq, bkv = sched.block_q, sched.block_kv
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+    # Padded / fully-masked rows have lse = −inf ⇒ p would be exp(+inf).
+    # Clamp those rows to +big so p underflows to 0 instead.
+    lse_safe = jnp.where(jnp.isfinite(lse), lse, 3e38).astype(jnp.float32)
+    lse3 = lse_safe[:, None, :]  # (BH, 1, nq_pad) → (1,1,bq) lane blocks
+    delta3 = delta[:, None, :]
+
+    num_q_blocks = sched.num_q_blocks
+    num_kv_blocks = sched.num_kv_blocks
+
+    # ---- dQ: Q-major grid, forward schedule.
+    dq_steps = sched.max_kv_steps
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, sched=sched, num_steps=dq_steps),
+        grid=(bh, num_q_blocks, dq_steps),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec(
+                (1, bkv, d), lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+            ),
+            pl.BlockSpec(
+                (1, bkv, dv_dim),
+                lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0),
+            ),
+            pl.BlockSpec((1, bq, dv_dim), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse3, delta3)
+
+    # ---- dK/dV: KV-major grid, transposed schedule.
+    dkv_steps = sched.max_q_steps
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, sched=sched, num_steps=dkv_steps),
+        grid=(bh, num_kv_blocks, dkv_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d), lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0)
+            ),
+            pl.BlockSpec((1, bkv, d), lambda b, j, s: (b, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda b, j, s: (b, j, 0)),
+            pl.BlockSpec(
+                (1, bq, dv_dim),
+                lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, bq), lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s))
+            ),
+            pl.BlockSpec(
+                (1, 1, bq), lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s))
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, d), lambda b, j, s: (b, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda b, j, s: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nkv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nkv_pad, dv_dim), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse3, delta3)
+
+    return dq, dk, dv

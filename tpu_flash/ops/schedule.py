@@ -83,6 +83,23 @@ class Schedule:
     def step_needed(self, i, s):
         return True
 
+    # -- transposed iteration (KV-major), used by the dK/dV backward kernel.
+    # For KV block ``j``, which Q blocks visit it? This is the safe answer to
+    # the reference's unsynchronized OpenMP dK/dV accumulation race
+    # (src_cpp/FlashAttention.cpp:300-312): the backward runs a second grid
+    # whose parallel dimension is KV blocks, so each dK/dV tile has exactly
+    # one writer.
+
+    @property
+    def max_q_steps(self) -> int:
+        return self.num_q_blocks
+
+    def q_block_index(self, j, s):
+        return s
+
+    def q_step_needed(self, j, s):
+        return True
+
     @property
     def has_mask(self) -> bool:
         return self.kv_len % self.block_kv != 0
@@ -123,6 +140,20 @@ class CausalSchedule(Schedule):
 
     def step_needed(self, i, s):
         return s <= self._last_step(i)
+
+    def _first_q_block(self, j):
+        # First Q block containing a query that can see KV block j.
+        return jnp.clip(
+            (j * self.block_kv - self._offset) // self.block_q,
+            0,
+            self.num_q_blocks - 1,
+        )
+
+    def q_block_index(self, j, s):
+        return jnp.minimum(self._first_q_block(j) + s, self.num_q_blocks - 1)
+
+    def q_step_needed(self, j, s):
+        return self._first_q_block(j) + s <= self.num_q_blocks - 1
 
     @property
     def has_mask(self) -> bool:
@@ -165,6 +196,28 @@ class LocalSchedule(Schedule):
     def step_needed(self, i, s):
         return self._first_step(i) + s <= self._last_block(i)
 
+    def _first_q_block(self, j):
+        if self.causal:
+            lo = j * self.block_kv  # q ≥ k under causality
+        else:
+            lo = j * self.block_kv - self.radius
+        return jnp.clip(lo // self.block_q, 0, self.num_q_blocks - 1)
+
+    def _last_q_block(self, j):
+        hi = (j + 1) * self.block_kv - 1 + self.radius
+        return jnp.minimum(self.num_q_blocks - 1, hi // self.block_q)
+
+    @property
+    def max_q_steps(self) -> int:
+        span = self.block_kv + (self.radius if self.causal else 2 * self.radius)
+        return min(self.num_q_blocks, cdiv(span, self.block_q) + 1)
+
+    def q_block_index(self, j, s):
+        return jnp.minimum(self._first_q_block(j) + s, self._last_q_block(j))
+
+    def q_step_needed(self, j, s):
+        return self._first_q_block(j) + s <= self._last_q_block(j)
+
     @property
     def has_mask(self) -> bool:
         return True
@@ -203,12 +256,29 @@ class BlockDiagonalSchedule(Schedule):
     def max_kv_steps(self) -> int:
         return self.section // self.block_kv
 
-    def kv_block_index(self, i, s):
+    def _kv_raw(self, i, s):
         section_idx = (i * self.block_q) // self.section
         return section_idx * (self.section // self.block_kv) + s
 
+    def kv_block_index(self, i, s):
+        return jnp.minimum(self._kv_raw(i, s), self.num_kv_blocks - 1)
+
     def step_needed(self, i, s):
-        return self.kv_block_index(i, s) < self.num_kv_blocks
+        return self._kv_raw(i, s) < self.num_kv_blocks
+
+    @property
+    def max_q_steps(self) -> int:
+        return self.section // self.block_q
+
+    def _q_raw(self, j, s):
+        section_idx = (j * self.block_kv) // self.section
+        return section_idx * (self.section // self.block_q) + s
+
+    def q_block_index(self, j, s):
+        return jnp.minimum(self._q_raw(j, s), self.num_q_blocks - 1)
+
+    def q_step_needed(self, j, s):
+        return self._q_raw(j, s) < self.num_q_blocks
 
     @property
     def has_mask(self) -> bool:
@@ -264,6 +334,29 @@ class CirculantSchedule(Schedule):
 
     def step_needed(self, i, s):
         return self._first_step(i) + s <= self._last_block(i)
+
+    def _first_q_block(self, j):
+        # Extended KV position j is seen by queries i ∈ [j - 2r, j].
+        return jnp.clip(
+            (j * self.block_kv - 2 * self.radius) // self.block_q,
+            0,
+            self.num_q_blocks - 1,
+        )
+
+    def _last_q_block(self, j):
+        hi = (j + 1) * self.block_kv - 1
+        return jnp.clip(hi // self.block_q, 0, self.num_q_blocks - 1)
+
+    @property
+    def max_q_steps(self) -> int:
+        span = self.block_kv + 2 * self.radius
+        return min(self.num_q_blocks, cdiv(span, self.block_q) + 1)
+
+    def q_block_index(self, j, s):
+        return jnp.minimum(self._first_q_block(j) + s, self._last_q_block(j))
+
+    def q_step_needed(self, j, s):
+        return self._first_q_block(j) + s <= self._last_q_block(j)
 
     @property
     def has_mask(self) -> bool:
