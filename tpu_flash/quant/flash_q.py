@@ -1,0 +1,330 @@
+"""Quantized flash-attention forward kernels (FP8 / INT8, in-register dequant).
+
+Extends the schedule-parameterized kernel (ops/flash.py) with the north-star
+quantized paths:
+
+* **activation-quant** (``q_dtype`` set): QKᵀ runs natively on the MXU in
+  int8→int32 or fp8→f32; the per-token scales dequantize the score matrix
+  *after* the matmul (``s_ij = (q̂·k̂)·σq_i·σk_j``) — no per-element dequant
+  in the inner loop.
+* **weight-only** (``q_dtype=None``): Q stays bf16; K is dequantized
+  in-register (int8→bf16 convert, scale applied to the score columns), the
+  KV-cache-compression mode.
+* V is always per-channel quantized (``axis=-2``) so its dequant collapses
+  to one per-channel multiply of the final accumulator.
+
+The softmax scale (1/√d) is folded into Q before quantization, so the only
+in-loop scalar work is the two score-scale multiplies.
+
+Error contract (BASELINE.md): ≤1e-2 max-abs vs the f32 oracle evaluated on
+the *dequantized* inputs (matched bit-width) — tested in tests/test_quant.py.
+Backward is intentionally not defined (inference path); take gradients
+through the unquantized kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.ops.flash import (
+    DEFAULT_MASK_VALUE,
+    _LANES,
+    _NT_DIMS,
+    _interpret_default,
+    _pad_seq,
+    _pick_block,
+)
+from tpu_flash.ops.schedule import (
+    BlockDiagonalSchedule,
+    CausalSchedule,
+    CirculantSchedule,
+    LocalSchedule,
+    Schedule,
+)
+from tpu_flash.quant.qarray import QArray, quantize
+
+_F8 = (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2))
+
+
+def _q_fwd_kernel(
+    *refs,
+    sched: Schedule,
+    num_steps: int,
+    q_quant: bool,
+    v_quant: bool,
+):
+    if q_quant:
+        (q_ref, k_ref, v_ref, sq_ref, sk_ref, *rest) = refs
+    else:
+        (q_ref, k_ref, v_ref, sk_ref, *rest) = refs
+        sq_ref = None
+    if v_quant:
+        (sv_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+        sv_ref = None
+
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        k = k_ref[0]
+        sk_row = sk_ref[0, 0].reshape(1, bkv)
+        if q_quant:
+            # Native low-bit MXU dot; dequant on the score matrix.
+            pref = jnp.int32 if k.dtype == jnp.int8 else jnp.float32
+            raw = lax.dot_general(
+                q_ref[0], k, _NT_DIMS, preferred_element_type=pref
+            ).astype(jnp.float32)
+            sq_col = jnp.expand_dims(sq_ref[0, 0], -1)  # (bq, 1)
+            sij = raw * sq_col * sk_row
+        else:
+            # Weight-only: dequant K to bf16 in-register, scale columns.
+            kf = k.astype(q_ref.dtype)
+            raw = lax.dot_general(
+                q_ref[0], kf, _NT_DIMS, preferred_element_type=jnp.float32
+            )
+            sij = raw * sk_row
+
+        if sched.has_mask:
+            kv_idx = sched.kv_block_index(i, s)
+            q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+            k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(sij, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(sij - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        v = v_ref[0]
+        vf = v.astype(jnp.bfloat16) if v_quant else v
+        pv = lax.dot_general(
+            p.astype(jnp.bfloat16),
+            vf,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        acc = acc_scr[...] * l_inv
+        if v_quant:
+            sv_row = sv_ref[0, 0].reshape(1, -1)  # per-channel (1, dv)
+            acc = acc * sv_row
+        o_ref[0] = acc.astype(o_ref.dtype)
+        m = m_scr[:, :1]
+        lse = jnp.where(l > 0.0, m + jnp.log(l), -jnp.inf)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _quantized_fwd(
+    qq: Optional[QArray],
+    q_raw: Optional[jnp.ndarray],
+    kq: QArray,
+    vq,  # QArray or raw array
+    sched: Schedule,
+    *,
+    interpret: bool,
+    out_dtype,
+):
+    q_quant = qq is not None
+    v_quant = isinstance(vq, QArray)
+    q_vals = qq.values if q_quant else q_raw
+    bh, nq_pad, d = q_vals.shape
+    v_vals = vq.values if v_quant else vq
+    dv = v_vals.shape[-1]
+    bq, bkv = sched.block_q, sched.block_kv
+    grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
+    num_steps = sched.max_kv_steps
+
+    kv_map = lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+    kv_scale_map = lambda b, i, s, _s=sched: (b, 0, _s.kv_block_index(i, s))
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+        pl.BlockSpec((1, bkv, d), kv_map),
+        pl.BlockSpec((1, bkv, dv), kv_map),
+    ]
+    inputs = [q_vals, kq.values, v_vals]
+    if q_quant:
+        in_specs.append(pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)))
+        inputs.append(qq.scales.reshape(bh, 1, nq_pad))
+    in_specs.append(pl.BlockSpec((1, 1, bkv), kv_scale_map))
+    inputs.append(kq.scales.reshape(bh, 1, -1))
+    if v_quant:
+        in_specs.append(pl.BlockSpec((1, 1, dv), lambda b, i, s: (b, 0, 0)))
+        inputs.append(vq.scales.reshape(bh, 1, dv))
+
+    kernel = functools.partial(
+        _q_fwd_kernel,
+        sched=sched,
+        num_steps=num_steps,
+        q_quant=q_quant,
+        v_quant=v_quant,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bq, dv), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, dv), out_dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, _LANES), jnp.float32),
+            pltpu.VMEM((bq, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return o, lse[..., 0]
+
+
+def _pad_scales(s: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    # (BH, n, 1) per-token scales → padded with ones (masked anyway).
+    n = s.shape[1]
+    if n == n_pad:
+        return s
+    return jnp.pad(s, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=1.0)
+
+
+def quantized_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_dtype="int8",
+    kv_dtype="int8",
+    schedule: str = "dense",
+    scale: Optional[float] = None,
+    radius: int = 0,
+    section: int = 0,
+    block_q: int = 512,
+    block_kv: int = 512,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Quantize-and-attend on ``(batch, heads, n, d)`` inputs.
+
+    ``q_dtype``: int8 / float8_e4m3fn / float8_e5m2, or None for the
+    weight-only mode (bf16 Q, quantized K/V). ``kv_dtype``: int8 / fp8.
+    Remaining arguments as :func:`tpu_flash.ops.flash.flash_attention`.
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
+    kv_dtype = jnp.dtype(kv_dtype)
+    if q_dtype is not None:
+        q_dtype = jnp.dtype(q_dtype)
+        if (q_dtype == jnp.int8) != (kv_dtype == jnp.int8):
+            raise ValueError(
+                f"q_dtype {q_dtype} and kv_dtype {kv_dtype} must share the "
+                "MXU input family (both int8, or both fp8)"
+            )
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    dv = v.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b * h, n_q, d)
+    kf = k.reshape(b * h, n_kv, d).astype(jnp.float32)
+    vf = v.reshape(b * h, n_kv, dv).astype(jnp.float32)
+
+    if schedule == "circulant" and radius > 0:
+        kf = jnp.concatenate([kf[:, -radius:], kf, kf[:, :radius]], axis=1)
+        vf = jnp.concatenate([vf[:, -radius:], vf, vf[:, :radius]], axis=1)
+
+    bq = _pick_block(n_q, block_q)
+    bkv = _pick_block(kf.shape[1], block_kv)
+    if schedule == "block":
+        if section <= 0:
+            raise ValueError("block schedule requires section > 0")
+        bq = min(bq, section)
+        bkv = min(bkv, section)
+        while section % bq:
+            bq -= 1
+        while section % bkv:
+            bkv -= 1
+
+    common = dict(n_q=n_q, n_kv=n_kv, block_q=bq, block_kv=bkv)
+    sched = {
+        "dense": lambda: Schedule(**common),
+        "causal": lambda: CausalSchedule(**common),
+        "local": lambda: LocalSchedule(**common, radius=radius),
+        "local_causal": lambda: LocalSchedule(**common, radius=radius, causal=True),
+        "block": lambda: BlockDiagonalSchedule(**common, section=section),
+        "circulant": lambda: CirculantSchedule(**common, radius=radius),
+    }[schedule]()
+
+    # Quantize after halo extension / before padding.
+    kq = quantize(kf, kv_dtype, axis=-1)  # per token
+    vq = quantize(vf, kv_dtype, axis=-2)  # per channel
+    kq = QArray(
+        values=_pad_seq(kq.values, sched.n_kv_pad),
+        scales=_pad_scales(kq.scales, sched.n_kv_pad),
+        axis=-1,
+    )
+    v_vals = _pad_seq(vq.values, sched.n_kv_pad)
+    vq = QArray(values=v_vals, scales=vq.scales, axis=-2)
+
+    if q_dtype is not None:
+        qq = quantize(qf, q_dtype, axis=-1)
+        qq = QArray(
+            values=_pad_seq(qq.values, sched.n_q_pad),
+            scales=_pad_scales(qq.scales, sched.n_q_pad),
+            axis=-1,
+        )
+        q_raw = None
+    else:
+        qq = None
+        q_raw = _pad_seq(qf.astype(jnp.bfloat16), sched.n_q_pad)
+
+    o, lse = _quantized_fwd(
+        qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype
+    )
+    o = o[:, :n_q].reshape(b, h, n_q, dv)
+    lse = lse[:, :n_q].reshape(b, h, n_q)
+    if return_lse:
+        return o, lse
+    return o
+
+
+def quantized_dense_fa(q, k, v, **kw):
+    """Dense quantized attention (see :func:`quantized_flash_attention`)."""
+    return quantized_flash_attention(q, k, v, schedule="dense", **kw)
