@@ -1,0 +1,221 @@
+"""Paged KV-cache: fixed-size pages in HBM, per-sequence page tables.
+
+The reference has no KV-cache at all (it is a kernel study); this is the
+north-star's storage layer for continuous-batching inference. Design points:
+
+* pages are ``(page_size, head_dim)`` tiles stored as
+  ``(kv_heads, total_pages, page_size, head_dim)`` — the layout the paged
+  decode kernel (ops/paged.py) DMAs directly, one page per grid step, with
+  the page id coming from a scalar-prefetched page table;
+* dtype ∈ {bf16/f32, int8, int4-packed}; quantized pages carry per-token
+  scales ``(kv_heads, total_pages, page_size)`` so appends quantize one
+  token at a time without touching old pages;
+* page allocation is host-side (cache/allocator.py — C++ free list with a
+  Python fallback); this module only does the device-side reads/writes.
+
+All updates are functional (returns a new pytree) and jit-compatible:
+indices are data, shapes are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.quant.qarray import pack_int4_halves
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    num_kv_heads: int
+    head_dim: int
+    page_size: int = 64
+    total_pages: int = 1024
+    max_seqs: int = 64
+    max_pages_per_seq: int = 128
+    dtype: str = "bfloat16"  # bfloat16 | float32 | int8 | int4
+
+    @property
+    def quantized(self) -> bool:
+        return self.dtype in ("int8", "int4")
+
+    @property
+    def storage_head_dim(self) -> int:
+        return self.head_dim // 2 if self.dtype == "int4" else self.head_dim
+
+    @property
+    def storage_dtype(self):
+        if self.quantized:
+            return jnp.int8
+        return jnp.dtype(self.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Device state of the paged cache.
+
+    ``page_tables[s, i]`` = physical page id of logical page ``i`` of
+    sequence-slot ``s``; ``lengths[s]`` = tokens currently stored.
+    """
+
+    k_pages: jnp.ndarray  # (kv_heads, total_pages, page, stor_dim)
+    v_pages: jnp.ndarray
+    k_scales: Optional[jnp.ndarray]  # (kv_heads, total_pages, page) or None
+    v_scales: Optional[jnp.ndarray]
+    page_tables: jnp.ndarray  # (max_seqs, max_pages_per_seq) int32
+    lengths: jnp.ndarray  # (max_seqs,) int32
+    config: CacheConfig = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def create(cls, config: CacheConfig) -> "PagedKVCache":
+        shape = (
+            config.num_kv_heads,
+            config.total_pages,
+            config.page_size,
+            config.storage_head_dim,
+        )
+        sc_shape = (config.num_kv_heads, config.total_pages, config.page_size)
+        quant = config.quantized
+        return cls(
+            k_pages=jnp.zeros(shape, config.storage_dtype),
+            v_pages=jnp.zeros(shape, config.storage_dtype),
+            k_scales=jnp.ones(sc_shape, jnp.float32) if quant else None,
+            v_scales=jnp.ones(sc_shape, jnp.float32) if quant else None,
+            page_tables=jnp.zeros(
+                (config.max_seqs, config.max_pages_per_seq), jnp.int32
+            ),
+            lengths=jnp.zeros((config.max_seqs,), jnp.int32),
+            config=config,
+        )
+
+    # -- encoding -----------------------------------------------------------
+
+    def _encode(self, x: jnp.ndarray):
+        """(…, head_dim) f32/bf16 → (values (…, stor_dim), scales (…,) | None)."""
+        cfg = self.config
+        if cfg.dtype == "int8":
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+            scales = jnp.maximum(amax, 1e-12) / 127.0
+            vals = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
+            ).astype(jnp.int8)
+            return vals, scales
+        if cfg.dtype == "int4":
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+            scales = jnp.maximum(amax, 1e-12) / 7.0
+            vals = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scales[..., None]), -8, 7
+            ).astype(jnp.int8)
+            return pack_int4_halves(vals), scales
+        return x.astype(self.k_pages.dtype), None
+
+    # -- writes -------------------------------------------------------------
+
+    def assign_pages(self, slot_pages: jnp.ndarray) -> "PagedKVCache":
+        """Install host-allocated page tables: (max_seqs, max_pages_per_seq)."""
+        return dataclasses.replace(self, page_tables=slot_pages.astype(jnp.int32))
+
+    def write_prompt(
+        self, slot, k: jnp.ndarray, v: jnp.ndarray
+    ) -> "PagedKVCache":
+        """Write a full prompt's K/V into sequence-slot ``slot``.
+
+        k, v: ``(kv_heads, prompt_len, head_dim)``; prompt_len is static.
+        The slot's page table must already cover ``ceil(prompt_len/page)``
+        pages. Resets the slot length to ``prompt_len``.
+        """
+        cfg = self.config
+        kh, n, d = k.shape
+        page = cfg.page_size
+        n_pad = -(-n // page) * page
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n), (0, 0))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        num_pages = n_pad // page
+        kv_vals, k_sc = self._encode(k)
+        vv_vals, v_sc = self._encode(v)
+        # (kh, num_pages, page, stor_dim)
+        kv_vals = kv_vals.reshape(kh, num_pages, page, -1)
+        vv_vals = vv_vals.reshape(kh, num_pages, page, -1)
+        ids = jax.lax.dynamic_slice_in_dim(
+            self.page_tables[slot], 0, num_pages
+        )  # (num_pages,)
+        k_pages = self.k_pages.at[:, ids].set(kv_vals)
+        v_pages = self.v_pages.at[:, ids].set(vv_vals)
+        k_scales, v_scales = self.k_scales, self.v_scales
+        if k_sc is not None:
+            k_scales = k_scales.at[:, ids].set(k_sc.reshape(kh, num_pages, page))
+            v_scales = v_scales.at[:, ids].set(v_sc.reshape(kh, num_pages, page))
+        return dataclasses.replace(
+            self,
+            k_pages=k_pages,
+            v_pages=v_pages,
+            k_scales=k_scales,
+            v_scales=v_scales,
+            lengths=self.lengths.at[slot].set(n),
+        )
+
+    def append(self, slots, k: jnp.ndarray, v: jnp.ndarray) -> "PagedKVCache":
+        """Append ONE token per sequence for a batch of slots.
+
+        slots: ``(B,)`` int32 slot ids; k, v: ``(B, kv_heads, head_dim)``.
+        The target page must already be allocated in each slot's table.
+        Increments lengths.
+        """
+        cfg = self.config
+        pos = self.lengths[slots]  # (B,)
+        logical_page = pos // cfg.page_size
+        offset = pos % cfg.page_size
+        phys = self.page_tables[slots, logical_page]  # (B,)
+
+        k_vals, k_sc = self._encode(k)  # (B, kh, stor_dim)
+        v_vals, v_sc = self._encode(v)
+        # scatter: k_pages[h, phys[b], offset[b]] = k_vals[b, h]
+        k_pages = self.k_pages.at[:, phys, offset].set(
+            jnp.swapaxes(k_vals, 0, 1)
+        )
+        v_pages = self.v_pages.at[:, phys, offset].set(
+            jnp.swapaxes(v_vals, 0, 1)
+        )
+        k_scales, v_scales = self.k_scales, self.v_scales
+        if k_sc is not None:
+            k_scales = k_scales.at[:, phys, offset].set(jnp.swapaxes(k_sc, 0, 1))
+            v_scales = v_scales.at[:, phys, offset].set(jnp.swapaxes(v_sc, 0, 1))
+        return dataclasses.replace(
+            self,
+            k_pages=k_pages,
+            v_pages=v_pages,
+            k_scales=k_scales,
+            v_scales=v_scales,
+            lengths=self.lengths.at[slots].add(1),
+        )
+
+    # -- reads (debug/oracle path) -------------------------------------------
+
+    def gather_kv(self, slot: int, max_len: int):
+        """Reassemble a slot's K/V as f32 ``(kv_heads, max_len, head_dim)``
+        (dequantized) — the oracle-side read used in tests."""
+        cfg = self.config
+        num_pages = -(-max_len // cfg.page_size)
+        ids = self.page_tables[slot, :num_pages]
+        k = self.k_pages[:, ids]  # (kh, np, page, stor)
+        v = self.v_pages[:, ids]
+        if cfg.dtype == "int4":
+            from tpu_flash.quant.qarray import unpack_int4_halves
+
+            k = unpack_int4_halves(k)
+            v = unpack_int4_halves(v)
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+        if cfg.quantized:
+            k = k * self.k_scales[:, ids][..., None]
+            v = v * self.v_scales[:, ids][..., None]
+        kh = cfg.num_kv_heads
+        k = k.reshape(kh, -1, cfg.head_dim)[:, :max_len]
+        v = v.reshape(kh, -1, cfg.head_dim)[:, :max_len]
+        return k, v

@@ -1,0 +1,225 @@
+"""Paged-attention decode kernel: one query token per sequence, K/V read
+page-by-page from the paged cache through scalar-prefetched page tables.
+
+This is the decode half of the north star (the prefill half is ops/flash.py).
+Grid = (batch, kv_heads, max_pages); the page table is a scalar-prefetch
+input so each grid step's BlockSpec index map can point the DMA engine at
+the right physical page before the kernel body runs — pages stream HBM→VMEM
+double-buffered by the Pallas pipeline, which is the whole game for decode
+(HBM-bandwidth-bound; the MXU is idle either way at G = q_heads/kv_heads
+rows per dot).
+
+Quantized caches (int8 / int4-packed) are dequantized in-register:
+int4 unpack is two VPU shifts + one lane concat (see
+quant/qarray.py pack_int4_halves); per-token scales fold into the score
+columns (K) and into P's columns before the PV dot (V), so no per-element
+dequant multiplies touch the (page × head_dim) tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.cache.paged_cache import PagedKVCache
+from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, _interpret_default
+from tpu_flash.ops.schedule import cdiv
+
+_LANES = 128
+_NT = (((1,), (1,)), ((), ()))
+_NN = (((1,), (0,)), ((), ()))
+
+
+def _paged_kernel(
+    # scalar prefetch
+    lens_ref,
+    pt_ref,
+    # inputs
+    q_ref,  # (1, 1, G, d)
+    k_ref,  # (1, 1, page, stor)
+    v_ref,
+    *rest,
+    page: int,
+    num_steps: int,
+    quantized: bool,
+    int4: bool,
+    head_dim: int,
+):
+    if quantized:
+        (ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        (o_ref, m_scr, l_scr, acc_scr) = rest
+
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = lens_ref[b]
+    num_pages = pl.cdiv(length, page)
+
+    @pl.when(i < num_pages)
+    def _step():
+        q = q_ref[0, 0]  # (G, d) — pre-scaled bf16/f32
+        k = k_ref[0, 0]  # (page, stor)
+        v = v_ref[0, 0]
+        if int4:
+            # Mosaic has no int8 shifts; widen to int32 (sign-extending),
+            # then two arithmetic shifts recover each nibble.
+            def _unpack(x):
+                x32 = x.astype(jnp.int32)
+                lo = (x32 << 28) >> 28
+                hi = x32 >> 4
+                return jnp.concatenate([lo, hi], axis=-1)
+
+            k = _unpack(k)
+            v = _unpack(v)
+        kf = k.astype(q.dtype)
+        vf = v.astype(q.dtype)
+
+        s = lax.dot_general(q, kf, _NT, preferred_element_type=jnp.float32)
+        if quantized:
+            s = s * ks_ref[0, 0]  # (1, page)
+        # mask beyond-length keys on the (only) partial page
+        k_pos = i * page + lax.broadcasted_iota(jnp.int32, (1, page), 1)
+        s = jnp.where(k_pos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        if quantized:
+            p = p * vs_ref[0, 0]  # (1, page)
+        pv = lax.dot_general(
+            p.astype(vf.dtype), vf, _NN, preferred_element_type=jnp.float32
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(i == num_steps - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention(
+    q: jnp.ndarray,
+    cache: PagedKVCache,
+    slots: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    pages_bound: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Decode attention over the paged cache.
+
+    Args:
+      q: ``(B, q_heads, head_dim)`` — one new token per sequence (its K/V
+        must already be appended to the cache).
+      cache: the paged KV cache.
+      slots: ``(B,)`` sequence-slot ids.
+      pages_bound: static cap on pages scanned (defaults to the cache's
+        max_pages_per_seq; pass a tighter bound when max length is known).
+
+    Returns ``(B, q_heads, head_dim)``.
+    """
+    cfg = cache.config
+    b, qh, d = q.shape
+    if d != cfg.head_dim:
+        raise ValueError(f"head_dim mismatch: {d} vs {cfg.head_dim}")
+    if qh % cfg.num_kv_heads:
+        raise ValueError(f"q_heads {qh} not a multiple of kv_heads {cfg.num_kv_heads}")
+    g = qh // cfg.num_kv_heads
+    kvh = cfg.num_kv_heads
+    page = cfg.page_size
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    num_steps = pages_bound or cfg.max_pages_per_seq
+    quantized = cfg.quantized
+    int4 = cfg.dtype == "int4"
+
+    lengths = cache.lengths[slots].astype(jnp.int32)  # (B,)
+    page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
+
+    qg = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    qg = qg.reshape(b, kvh, g, d)
+
+    def phys_page(bi, i, lens, pt):
+        np_b = jnp.maximum(pl.cdiv(lens[bi], page), 1)
+        return pt[bi, jnp.minimum(i, np_b - 1)]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d), lambda bi, h, i, lens, pt: (bi, h, 0, 0)),
+        pl.BlockSpec(
+            (1, 1, page, cfg.storage_head_dim),
+            lambda bi, h, i, lens, pt: (h, phys_page(bi, i, lens, pt), 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, page, cfg.storage_head_dim),
+            lambda bi, h, i, lens, pt: (h, phys_page(bi, i, lens, pt), 0, 0),
+        ),
+    ]
+    inputs = [qg, cache.k_pages, cache.v_pages]
+    if quantized:
+        # Scales ride as (kvh, pages, 1, page) so the block's trailing dims
+        # (1, page) satisfy the TPU (8,128)-or-full-dim tiling rule.
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, page),
+            lambda bi, h, i, lens, pt: (h, phys_page(bi, i, lens, pt), 0, 0),
+        )
+        in_specs += [sc_spec, sc_spec]
+        kvh_, tp_, pg_ = cache.k_scales.shape
+        inputs += [
+            cache.k_scales.reshape(kvh_, tp_, 1, pg_),
+            cache.v_scales.reshape(kvh_, tp_, 1, pg_),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh, num_steps),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, g, d), lambda bi, h, i, lens, pt: (bi, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, _LANES), jnp.float32),
+            pltpu.VMEM((g, _LANES), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_kernel,
+        page=page,
+        num_steps=num_steps,
+        quantized=quantized,
+        int4=int4,
+        head_dim=d,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_tables, *inputs)
+    return out.reshape(b, qh, d)

@@ -95,6 +95,26 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
 
 
+def pack_int4_halves(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4 values (int8 storage, [-8, 7]) into int8 with the feature
+    dim split in halves: low nibbles hold x[..., :d/2], high nibbles
+    x[..., d/2:]. Unlike pairwise interleave, the in-kernel unpack is two
+    VPU shifts + one lane concat — no element shuffles."""
+    d = x.shape[-1]
+    if d % 2:
+        raise ValueError("last axis must be even")
+    lo = x[..., : d // 2].astype(jnp.int8) & 0x0F
+    hi = (x[..., d // 2 :].astype(jnp.int8) & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_int4_halves(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4_halves` (mirrors the in-kernel unpack)."""
+    lo = (packed.astype(jnp.int8) << 4) >> 4
+    hi = packed.astype(jnp.int8) >> 4
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def quantize_int4(x: jnp.ndarray, axis: int = -1) -> QArray:
     """INT4 symmetric quantization; values stored nibble-packed int8
     (half the last axis)."""
