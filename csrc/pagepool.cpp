@@ -1,0 +1,130 @@
+// pagepool.cpp — native page allocator + admission control for the paged
+// KV-cache serving engine.
+//
+// This is the framework's host-side native runtime piece (the role the
+// reference's C++ sidecar plays for its CPU kernels, src_cpp/ — here it
+// manages memory instead of doing math: the TPU does the math). The Python
+// engine calls through ctypes (tpu_flash/cache/allocator.py).
+//
+// Design: O(1) page alloc/free via a free-list stack; per-slot page tables;
+// atomic admission (all-or-nothing multi-page grants so a half-admitted
+// sequence can never deadlock the pool); a watermark reservation so decode
+// extends are never starved by new prefills. Thread-safe via one mutex —
+// the engine loop is single-threaded, but request arrival may not be.
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+struct PagePool {
+  int32_t total_pages;
+  int32_t max_seqs;
+  int32_t max_pages_per_seq;
+  int32_t decode_reserve;  // pages kept back for decode extends
+  std::vector<int32_t> free_stack;
+  std::vector<std::vector<int32_t>> tables;  // per-slot page ids
+  std::vector<uint8_t> active;
+  std::mutex mu;
+
+  PagePool(int32_t total, int32_t seqs, int32_t per_seq, int32_t reserve)
+      : total_pages(total),
+        max_seqs(seqs),
+        max_pages_per_seq(per_seq),
+        decode_reserve(reserve),
+        tables(seqs),
+        active(seqs, 0) {
+    free_stack.reserve(total);
+    for (int32_t p = total - 1; p >= 0; --p) free_stack.push_back(p);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* pp_create(int32_t total_pages, int32_t max_seqs,
+                int32_t max_pages_per_seq, int32_t decode_reserve) {
+  if (total_pages <= 0 || max_seqs <= 0 || max_pages_per_seq <= 0) return nullptr;
+  return new PagePool(total_pages, max_seqs, max_pages_per_seq,
+                      decode_reserve < 0 ? 0 : decode_reserve);
+}
+
+void pp_destroy(void* h) { delete static_cast<PagePool*>(h); }
+
+int32_t pp_num_free(void* h) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  return static_cast<int32_t>(pool->free_stack.size());
+}
+
+// Admit a sequence needing `npages` now. Fails (returns -1) unless
+// npages + decode_reserve pages are free (all-or-nothing). Returns 0 on
+// success; the slot's table is populated.
+int32_t pp_admit(void* h, int32_t slot, int32_t npages) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs || pool->active[slot]) return -1;
+  if (npages < 0 || npages > pool->max_pages_per_seq) return -1;
+  if (static_cast<int32_t>(pool->free_stack.size()) <
+      npages + pool->decode_reserve)
+    return -1;
+  auto& table = pool->tables[slot];
+  table.clear();
+  for (int32_t i = 0; i < npages; ++i) {
+    table.push_back(pool->free_stack.back());
+    pool->free_stack.pop_back();
+  }
+  pool->active[slot] = 1;
+  return 0;
+}
+
+// Grow an active sequence by one page (decode crossing a page boundary).
+// Returns the new physical page id, or -1 if the pool is exhausted / the
+// slot is at its page cap.
+int32_t pp_extend(void* h, int32_t slot) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs || !pool->active[slot]) return -1;
+  auto& table = pool->tables[slot];
+  if (static_cast<int32_t>(table.size()) >= pool->max_pages_per_seq) return -1;
+  if (pool->free_stack.empty()) return -1;
+  int32_t page = pool->free_stack.back();
+  pool->free_stack.pop_back();
+  table.push_back(page);
+  return page;
+}
+
+// Release all of a slot's pages back to the pool.
+void pp_free_seq(void* h, int32_t slot) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs || !pool->active[slot]) return;
+  for (int32_t p : pool->tables[slot]) pool->free_stack.push_back(p);
+  pool->tables[slot].clear();
+  pool->active[slot] = 0;
+}
+
+int32_t pp_num_pages(void* h, int32_t slot) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs) return -1;
+  return static_cast<int32_t>(pool->tables[slot].size());
+}
+
+// Copy the slot's page table into `out` (caller-sized to cap). Returns the
+// number of entries written.
+int32_t pp_table(void* h, int32_t slot, int32_t* out, int32_t cap) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs) return -1;
+  auto& table = pool->tables[slot];
+  int32_t n = static_cast<int32_t>(table.size());
+  if (n > cap) n = cap;
+  std::memcpy(out, table.data(), n * sizeof(int32_t));
+  return n;
+}
+
+}  // extern "C"
