@@ -1,0 +1,121 @@
+"""Serving engine: decode consistency vs full forward, continuous batching,
+preemption, and quantized-cache generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.cache.paged_cache import CacheConfig
+from tpu_flash.models import transformer as tfm
+from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+_MCFG = tfm.ModelConfig(
+    vocab_size=256,
+    dim=128,
+    num_layers=2,
+    num_q_heads=4,
+    num_kv_heads=2,
+    head_dim=32,
+    block_q=128,
+    block_kv=128,
+)
+
+
+def _cache_cfg(dtype="bfloat16", **kw):
+    base = dict(
+        num_kv_heads=_MCFG.num_kv_heads,
+        head_dim=_MCFG.head_dim,
+        page_size=16,
+        total_pages=128,
+        max_seqs=8,
+        max_pages_per_seq=16,
+        dtype=dtype,
+    )
+    base.update(kw)
+    return CacheConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+
+
+def test_greedy_decode_matches_full_forward(params):
+    """Engine's paged greedy decode must produce the same tokens as naive
+    full re-forward greedy decoding (within bf16 cache noise)."""
+    prompt = list(np.random.default_rng(0).integers(1, 255, 12))
+    eng = Engine(params, _MCFG, _cache_cfg("float32"), EngineConfig(max_batch=2))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+    done = eng.run()
+    assert len(done) == 1
+
+    # reference: greedy decode by re-running the full forward each step
+    toks = list(prompt)
+    for _ in range(8):
+        logits = tfm.forward(params, jnp.asarray([toks], jnp.int32), _MCFG)
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    assert done[0].tokens == toks
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_quantized_cache_decode_runs(params, dtype):
+    prompt = list(np.random.default_rng(1).integers(1, 255, 10))
+    eng = Engine(params, _MCFG, _cache_cfg(dtype), EngineConfig(max_batch=2))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6))
+    done = eng.run()
+    assert len(done) == 1
+    assert len(done[0].new_tokens) == 6
+
+
+def test_continuous_batching_multiple_requests(params):
+    rng = np.random.default_rng(2)
+    eng = Engine(params, _MCFG, _cache_cfg(), EngineConfig(max_batch=3))
+    for rid in range(5):
+        n = int(rng.integers(4, 20))
+        eng.submit(Request(rid=rid, prompt=list(rng.integers(1, 255, n)),
+                           max_new_tokens=int(rng.integers(3, 9))))
+    done = eng.run()
+    assert sorted(r.rid for r in done) == [0, 1, 2, 3, 4]
+    for r in done:
+        assert r.reason == "length"
+
+
+def test_batched_decode_matches_solo_decode(params):
+    """Two sequences decoded together must produce the same tokens as each
+    decoded alone (batch isolation through the paged cache)."""
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 255, 9)), list(rng.integers(1, 255, 14))]
+
+    solo = []
+    for i, p in enumerate(prompts):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"), EngineConfig(max_batch=2))
+        eng.submit(Request(rid=i, prompt=p, max_new_tokens=6))
+        solo.append(eng.run()[0].tokens)
+
+    eng = Engine(params, _MCFG, _cache_cfg("float32"), EngineConfig(max_batch=2))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p, max_new_tokens=6))
+    both = {r.rid: r.tokens for r in eng.run()}
+    assert both[0] == solo[0]
+    assert both[1] == solo[1]
+
+
+def test_page_exhaustion_preempts_and_completes(params):
+    """Tiny pool: sequences must preempt under pressure yet all complete."""
+    cc = _cache_cfg(total_pages=12, max_pages_per_seq=8)
+    eng = Engine(params, _MCFG, cc, EngineConfig(max_batch=2))
+    rng = np.random.default_rng(4)
+    for rid in range(3):
+        eng.submit(Request(rid=rid, prompt=list(rng.integers(1, 255, 8)),
+                           max_new_tokens=5))
+    done = eng.run(max_steps=500)
+    assert sorted(r.rid for r in done) == [0, 1, 2]
+
+
+def test_pages_released_after_completion(params):
+    eng = Engine(params, _MCFG, _cache_cfg(), EngineConfig(max_batch=2))
+    free0 = eng._alloc.num_free()
+    eng.submit(Request(rid=0, prompt=[1, 2, 3], max_new_tokens=3))
+    eng.run()
+    assert eng._alloc.num_free() == free0

@@ -1,0 +1,227 @@
+"""Flagship model: a llama-style transformer LM driving the kernel family.
+
+The reference is a kernel study with no model; the north star wires the
+kernels into an inference engine, so this is the vehicle: RMSNorm → GQA
+attention (prefill via the causal flash kernel, decode via the paged kernel)
+→ SwiGLU, RoPE positions, tied embeddings. Pure functional JAX (params are
+an explicit pytree) so pjit/shard_map sharding is transparent — no module
+framework in the hot path.
+
+Sliding-window attention per layer is supported (``attention="sliding"``)
+to exercise the banded schedules in a real model, mirroring how the
+reference's windowed kernels would be deployed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.ops import flash
+from tpu_flash.ops.paged import paged_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    dim: int = 1024
+    num_layers: int = 8
+    num_q_heads: int = 8
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    mlp_hidden: Optional[int] = None
+    rope_theta: float = 10000.0
+    dtype: str = "bfloat16"
+    attention: str = "causal"  # causal | sliding
+    window: int = 1025  # odd; used when attention == "sliding"
+    block_q: int = 256
+    block_kv: int = 256
+
+    @property
+    def hidden(self) -> int:
+        if self.mlp_hidden is not None:
+            return self.mlp_hidden
+        # llama-style 2/3·4d, rounded to 256 lanes
+        h = int(8 * self.dim / 3)
+        return (h + 255) // 256 * 256
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_q_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+def init_params(key, cfg: ModelConfig):
+    dt = jnp.dtype(cfg.dtype)
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dt)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i], 7)
+        layers.append(
+            dict(
+                wq=dense(lk[0], cfg.dim, (cfg.dim, cfg.q_dim)),
+                wk=dense(lk[1], cfg.dim, (cfg.dim, cfg.kv_dim)),
+                wv=dense(lk[2], cfg.dim, (cfg.dim, cfg.kv_dim)),
+                wo=dense(lk[3], cfg.q_dim, (cfg.q_dim, cfg.dim)),
+                w_gate=dense(lk[4], cfg.dim, (cfg.dim, cfg.hidden)),
+                w_up=dense(lk[5], cfg.dim, (cfg.dim, cfg.hidden)),
+                w_down=dense(lk[6], cfg.hidden, (cfg.hidden, cfg.dim)),
+                ln_attn=jnp.ones((cfg.dim,), jnp.float32),
+                ln_mlp=jnp.ones((cfg.dim,), jnp.float32),
+            )
+        )
+    return dict(
+        embed=(jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32) * 0.02).astype(dt),
+        ln_f=jnp.ones((cfg.dim,), jnp.float32),
+        layers=layers,
+    )
+
+
+def rmsnorm(x, w, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * scale * w).astype(x.dtype)
+
+
+def _rope_angles(positions, head_dim, theta):
+    # positions: (..., n) int32 → cos/sin (..., n, head_dim/2)
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x, positions, theta):
+    """x: (..., n, heads, head_dim); positions: (..., n)."""
+    head_dim = x.shape[-1]
+    cos, sin = _rope_angles(positions, head_dim, theta)  # (..., n, hd/2)
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attn_full(q, k, v, cfg: ModelConfig):
+    """Full-sequence attention (training / prefill). q: (B, N, QH, D)."""
+    g = cfg.num_q_heads // cfg.num_kv_heads
+    # GQA: expand kv heads to q heads for the dense kernel.
+    k = jnp.repeat(k, g, axis=2)
+    v = jnp.repeat(v, g, axis=2)
+    qt = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    if cfg.attention == "sliding":
+        o = flash.sliding_fa(
+            qt, kt, vt, cfg.window, causal=True,
+            block_q=cfg.block_q, block_kv=cfg.block_kv,
+        )
+    else:
+        o = flash.dense_fa(
+            qt, kt, vt, causal=True, block_q=cfg.block_q, block_kv=cfg.block_kv
+        )
+    return jnp.swapaxes(o, 1, 2)  # (B, N, H, D)
+
+
+def _block(params, x, positions, cfg: ModelConfig, collect_kv=None):
+    b, n, _ = x.shape
+    h = rmsnorm(x, params["ln_attn"])
+    q = (h @ params["wq"]).reshape(b, n, cfg.num_q_heads, cfg.head_dim)
+    k = (h @ params["wk"]).reshape(b, n, cfg.num_kv_heads, cfg.head_dim)
+    v = (h @ params["wv"]).reshape(b, n, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+    if collect_kv is not None:
+        collect_kv.append((k, v))
+    o = _attn_full(q, k, v, cfg).reshape(b, n, cfg.q_dim)
+    x = x + o @ params["wo"]
+    h = rmsnorm(x, params["ln_mlp"])
+    gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + (gate * (h @ params["w_up"])) @ params["w_down"]
+    return x
+
+
+def forward(params, tokens, cfg: ModelConfig, positions=None):
+    """Full causal forward: tokens (B, N) int32 → logits (B, N, vocab) f32."""
+    b, n = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    x = params["embed"][tokens]
+    for layer in params["layers"]:
+        x = _block(layer, x, positions, cfg)
+    x = rmsnorm(x, params["ln_f"])
+    return (x @ params["embed"].T).astype(jnp.float32)
+
+
+def loss_fn(params, tokens, cfg: ModelConfig):
+    """Next-token cross entropy — the training objective used by the
+    multi-chip dry run and any fine-tuning use."""
+    logits = forward(params, tokens[:, :-1], cfg)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def prefill(params, tokens, cfg: ModelConfig):
+    """Forward over the prompt, returning last-position logits and the
+    per-layer rotated K/V to seed the paged cache.
+
+    Returns (logits (B, vocab), kv: list of (k, v) each (B, N, KVH, D)).
+    """
+    b, n = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    x = params["embed"][tokens]
+    kv = []
+    for layer in params["layers"]:
+        x = _block(layer, x, positions, cfg, collect_kv=kv)
+    x = rmsnorm(x, params["ln_f"])
+    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    return logits, kv
+
+
+def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
+                pages_bound=None):
+    """One decode step over the paged caches.
+
+    tokens: (B,) int32 new token ids; positions: (B,) their positions;
+    caches: list (len = num_layers) of PagedKVCache; slots: (B,) slot ids.
+    The new token's K/V are appended to each layer's cache *before* the
+    paged attention, so the token attends to itself.
+
+    Returns (logits (B, vocab), new_caches).
+    """
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None, :]  # (B, 1, dim)
+    pos = positions[:, None]
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln_attn"])
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.num_q_heads, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        q = apply_rope(q, pos, cfg.rope_theta)
+        k = apply_rope(k, pos, cfg.rope_theta)
+        cache = cache.append(slots, k[:, 0], v[:, 0])
+        o = paged_attention(
+            q[:, 0].astype(x.dtype), cache, slots, pages_bound=pages_bound
+        )
+        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        hm = rmsnorm(x, layer["ln_mlp"])
+        gate = jax.nn.silu((hm @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + (gate * (hm @ layer["w_up"])) @ layer["w_down"]
+        new_caches.append(cache)
+    x = rmsnorm(x, params["ln_f"])
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    return logits, new_caches

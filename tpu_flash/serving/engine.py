@@ -1,0 +1,336 @@
+"""Continuous-batching inference engine over the paged KV-cache.
+
+The decode loop the north star asks for: requests stream in, prompts are
+prefilled through the causal flash kernel, K/V land in paged cache slots
+granted by the native allocator (csrc/pagepool.cpp), and every engine step
+advances ALL running sequences by one token through the paged decode kernel
+— new sequences join the batch the moment pages are free (continuous
+batching), finished ones release pages immediately. Pool exhaustion preempts
+the youngest sequence back to the queue rather than deadlocking (the
+allocator's decode-reserve watermark makes extends succeed first).
+
+Design notes:
+* decode is ONE jitted call per step, batch dimension = max_batch, inactive
+  lanes parked on a trash slot whose page table points at physical page 0
+  (reserved; never granted to real sequences);
+* prefill is per-request, bucketed to powers of two so each bucket compiles
+  once; pages are granted for the padded bucket so the in-cache garbage
+  tail is always covered (attention masks it by true length);
+* cache buffers are donated through the decode jit, so page memory is
+  updated in place rather than copied per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.cache.allocator import PageAllocator
+from tpu_flash.cache.paged_cache import CacheConfig, PagedKVCache
+from tpu_flash.models import transformer as tfm
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    temperature: float = 0.0
+    eos_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class _Running:
+    rid: int
+    slot: int
+    tokens: List[int]          # prompt + generated
+    prompt_len: int
+    max_new_tokens: int
+    temperature: float
+    eos_id: Optional[int]
+    alloc_tokens: int          # page-covered capacity
+    next_token: int = -1
+
+
+@dataclasses.dataclass
+class FinishedRequest:
+    rid: int
+    tokens: List[int]
+    new_tokens: List[int]
+    reason: str  # "length" | "eos" | "cap"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8
+    prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
+    pages_bound: Optional[int] = None  # static cap for the decode kernel
+    seed: int = 0
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        model_cfg: tfm.ModelConfig,
+        cache_cfg: CacheConfig,
+        engine_cfg: EngineConfig = EngineConfig(),
+    ):
+        self.params = params
+        self.mcfg = model_cfg
+        self.ccfg = cache_cfg
+        self.ecfg = engine_cfg
+        if engine_cfg.max_batch > cache_cfg.max_seqs - 1:
+            raise ValueError("max_batch must leave one trash slot free")
+        # physical page 0 is the trash page; allocator hands out [1, total).
+        self._alloc = PageAllocator(
+            total_pages=cache_cfg.total_pages - 1,
+            max_seqs=cache_cfg.max_seqs,
+            max_pages_per_seq=cache_cfg.max_pages_per_seq,
+            decode_reserve=engine_cfg.max_batch,
+        )
+        self.caches = [
+            PagedKVCache.create(cache_cfg) for _ in range(model_cfg.num_layers)
+        ]
+        self._trash_slot = cache_cfg.max_seqs - 1
+        self._free_slots = deque(
+            s for s in range(cache_cfg.max_seqs) if s != self._trash_slot
+        )
+        self.waiting: deque[Request] = deque()
+        self.running: dict[int, _Running] = {}
+        self.finished: List[FinishedRequest] = []
+        self._rng = np.random.default_rng(engine_cfg.seed)
+        self._decode_fn = self._build_decode()
+        self._prefill_fns = {}
+
+    # ---- jitted model entry points ------------------------------------
+
+    def _build_decode(self):
+        mcfg, ecfg = self.mcfg, self.ecfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(params, caches, tokens, positions, slots):
+            logits, caches = tfm.decode_step(
+                params, tokens, positions, caches, slots, mcfg,
+                pages_bound=ecfg.pages_bound,
+            )
+            return logits, caches
+
+        return run
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            mcfg = self.mcfg
+
+            @jax.jit
+            def run(params, tokens, length):
+                logits_all, kv = _prefill_all_logits(params, tokens, mcfg)
+                logits = jax.lax.dynamic_index_in_dim(
+                    logits_all, length - 1, axis=1, keepdims=False
+                )
+                return logits, kv
+
+            self._prefill_fns[bucket] = run
+        return self._prefill_fns[bucket]
+
+    # ---- public API -----------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        self.waiting.append(req)
+
+    def step(self) -> None:
+        """Admit + prefill new requests, then advance all running sequences
+        by one decode token."""
+        self._admit()
+        if self.running:
+            self._decode()
+
+    def run(self, max_steps: int = 10_000) -> List[FinishedRequest]:
+        steps = 0
+        while (self.waiting or self.running) and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished
+
+    # ---- internals ------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+    def _sync_slot_tables(self, slot: int) -> None:
+        # Allocator ids are shifted +1 (physical page 0 is the trash page);
+        # entries beyond the allocated count stay 0 → trash.
+        npages = self._alloc.num_pages(slot)
+        mask = np.zeros(self.ccfg.max_pages_per_seq, np.int32)
+        mask[:npages] = 1
+        row = jnp.asarray((self._alloc.table(slot) + 1) * mask)
+        self.caches = [
+            dataclasses.replace(
+                c, page_tables=c.page_tables.at[slot].set(row)
+            )
+            for c in self.caches
+        ]
+
+    def _admit(self) -> None:
+        while (
+            self.waiting
+            and self._free_slots
+            and len(self.running) < self.ecfg.max_batch
+        ):
+            req = self.waiting[0]
+            bucket = self._bucket(len(req.prompt) + 1)
+            pages_needed = -(-bucket // self.ccfg.page_size)
+            slot = self._free_slots[0]
+            if not self._alloc.admit(slot, pages_needed):
+                break  # pool exhausted; retry next step
+            self.waiting.popleft()
+            self._free_slots.popleft()
+            self._sync_slot_tables(slot)
+            self._prefill(req, slot, bucket, pages_needed)
+
+    def _prefill(self, req: Request, slot: int, bucket: int, pages: int) -> None:
+        n = len(req.prompt)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = req.prompt
+        logits, kv = self._prefill_fn(bucket)(
+            self.params, jnp.asarray(toks), jnp.int32(n)
+        )
+        # write each layer's K/V into the cache (padded tail is page-covered
+        # and masked by length).
+        for li, (k, v) in enumerate(kv):
+            self.caches[li] = self.caches[li].write_prompt(
+                slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1)
+            )
+            # write_prompt set length to the padded bucket; fix to true n.
+            self.caches[li] = dataclasses.replace(
+                self.caches[li], lengths=self.caches[li].lengths.at[slot].set(n)
+            )
+        tok = self._sample(np.asarray(logits)[0], req.temperature)
+        self.running[slot] = _Running(
+            rid=req.rid,
+            slot=slot,
+            tokens=list(req.prompt) + [int(tok)],
+            prompt_len=n,
+            max_new_tokens=req.max_new_tokens,
+            temperature=req.temperature,
+            eos_id=req.eos_id,
+            alloc_tokens=pages * self.ccfg.page_size,
+            next_token=int(tok),
+        )
+        self._maybe_finish(slot)
+
+    def _sample(self, logits: np.ndarray, temperature: float) -> int:
+        if temperature <= 0.0:
+            return int(np.argmax(logits))
+        p = logits / temperature
+        p = np.exp(p - p.max())
+        p /= p.sum()
+        return int(self._rng.choice(len(p), p=p))
+
+    def _ensure_capacity(self, slot: int) -> bool:
+        """Make sure the slot can hold one more token; extend or preempt."""
+        r = self.running[slot]
+        pos = len(r.tokens)  # next token's K/V position is len(tokens)-1... guarded below
+        if pos <= r.alloc_tokens:
+            return True
+        page = self._alloc.extend(slot)
+        if page is not None:
+            r.alloc_tokens += self.ccfg.page_size
+            self._sync_slot_tables(slot)
+            return True
+        return False
+
+    def _preempt(self, slot: int) -> None:
+        """Return a sequence to the waiting queue (re-prefill later)."""
+        r = self.running.pop(slot)
+        self._alloc.free_seq(slot)
+        self._free_slots.append(slot)
+        self.waiting.appendleft(
+            Request(
+                rid=r.rid,
+                prompt=r.tokens,  # resume with generated context as prompt
+                max_new_tokens=r.max_new_tokens - (len(r.tokens) - r.prompt_len),
+                temperature=r.temperature,
+                eos_id=r.eos_id,
+            )
+        )
+
+    def _decode(self) -> None:
+        # capacity check first (may preempt)
+        for slot in sorted(self.running):
+            if not self._ensure_capacity(slot):
+                self._preempt(slot)
+        if not self.running:
+            return
+        mb = self.ecfg.max_batch
+        slots_np = np.full(mb, self._trash_slot, np.int32)
+        toks_np = np.zeros(mb, np.int32)
+        pos_np = np.zeros(mb, np.int32)
+        lanes = []
+        for lane, slot in enumerate(sorted(self.running)):
+            if lane >= mb:
+                break
+            r = self.running[slot]
+            slots_np[lane] = slot
+            toks_np[lane] = r.next_token
+            pos_np[lane] = len(r.tokens) - 1  # position of the new token
+            lanes.append(slot)
+        logits, self.caches = self._decode_fn(
+            self.params,
+            self.caches,
+            jnp.asarray(toks_np),
+            jnp.asarray(pos_np),
+            jnp.asarray(slots_np),
+        )
+        logits = np.asarray(logits)
+        for lane, slot in enumerate(lanes):
+            r = self.running[slot]
+            tok = self._sample(logits[lane], r.temperature)
+            r.tokens.append(int(tok))
+            r.next_token = int(tok)
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int) -> None:
+        r = self.running.get(slot)
+        if r is None:
+            return
+        produced = len(r.tokens) - r.prompt_len
+        reason = None
+        if r.eos_id is not None and r.tokens[-1] == r.eos_id:
+            reason = "eos"
+        elif produced >= r.max_new_tokens:
+            reason = "length"
+        if reason:
+            self.finished.append(
+                FinishedRequest(
+                    rid=r.rid,
+                    tokens=list(r.tokens),
+                    new_tokens=r.tokens[r.prompt_len:],
+                    reason=reason,
+                )
+            )
+            del self.running[slot]
+            self._alloc.free_seq(slot)
+            self._free_slots.append(slot)
+
+
+def _prefill_all_logits(params, tokens, cfg):
+    """Prefill returning logits for ALL positions (engine picks length-1)."""
+    b, n = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    x = params["embed"][tokens]
+    kv = []
+    for layer in params["layers"]:
+        x = tfm._block(layer, x, positions, cfg, collect_kv=kv)
+    x = tfm.rmsnorm(x, params["ln_f"])
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    return logits, kv
