@@ -1,0 +1,127 @@
+"""Ring attention on the 8-device CPU mesh: exactness vs single-device
+kernels/oracle, hop skipping, and differentiability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.ops import oracle
+from tpu_flash.parallel import make_mesh, ring_dense_fa
+from tpu_flash.parallel.ring import merge_partials
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+_BLK = dict(block_q=128, block_kv=128)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+def _qkv(rng, b, h, n, d):
+    return _rand(rng, b, h, n, d), _rand(rng, b, h, n, d), _rand(rng, b, h, n, d)
+
+
+@pytest.fixture(scope="module")
+def seq_mesh():
+    return make_mesh(data=1, model=1, seq=8)
+
+
+def test_ring_dense(rng, seq_mesh):
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    fn = ring_dense_fa(seq_mesh, pattern="dense", **_BLK)
+    o = fn(q, k, v)
+    o_ref, _ = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_ring_causal(rng, seq_mesh):
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    fn = ring_dense_fa(seq_mesh, pattern="causal", **_BLK)
+    o = fn(q, k, v)
+    o_ref, _ = oracle.dense_dpa(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("radius", [64, 200])
+def test_ring_local(rng, seq_mesh, radius):
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    fn = ring_dense_fa(seq_mesh, pattern="local", radius=radius, **_BLK)
+    o = fn(q, k, v)
+    o_ref, _ = oracle.sliding_dpa(q, k, v, 2 * radius + 1)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("radius", [64, 200])
+def test_ring_circulant(rng, seq_mesh, radius):
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    fn = ring_dense_fa(seq_mesh, pattern="circulant", radius=radius, **_BLK)
+    o = fn(q, k, v)
+    o_ref, _ = oracle.circulant_dpa(q, k, v, 2 * radius + 1)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=3e-5, rtol=1e-4)
+
+
+def test_ring_grad_matches_oracle_grad(rng, seq_mesh):
+    q, k, v = _qkv(rng, 1, 1, 512, 32)
+    w = _rand(rng, 1, 1, 512, 32)
+    fn = ring_dense_fa(seq_mesh, pattern="causal", **_BLK)
+
+    g_ring = jax.grad(lambda q, k, v: jnp.sum(fn(q, k, v) * w), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(oracle.dense_dpa(q, k, v, causal=True)[0] * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip("qkv", g_ring, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_merge_partials_associative(rng):
+    o1, o2, o3 = (_rand(rng, 1, 1, 8, 4) for _ in range(3))
+    l1, l2, l3 = (_rand(rng, 1, 1, 8) for _ in range(3))
+    a = merge_partials(*merge_partials(o1, l1, o2, l2), o3, l3)
+    b = merge_partials(o1, l1, *merge_partials(o2, l2, o3, l3))
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-5)
+
+
+def test_merge_partials_handles_empty():
+    o = jnp.ones((1, 1, 4, 2))
+    lse = jnp.zeros((1, 1, 4))
+    empty_o = jnp.zeros_like(o)
+    empty_lse = jnp.full((1, 1, 4), -jnp.inf)
+    mo, ml = merge_partials(o, lse, empty_o, empty_lse)
+    np.testing.assert_allclose(mo, o)
+    np.testing.assert_allclose(ml, lse)
+
+
+def test_hop_skipping_is_static(rng, seq_mesh):
+    """Banded ring with a small radius must trace strictly fewer pallas
+    calls than the dense ring (hops statically skipped)."""
+    q, k, v = _qkv(rng, 1, 1, 1024, 32)
+    from tpu_flash.parallel.ring import ring_attention
+    from jax.sharding import PartitionSpec as P
+
+    def count_pallas(pattern, radius):
+        def local(q, k, v):
+            return ring_attention(
+                q, k, v, "seq", pattern=pattern, radius=radius, **_BLK
+            )
+
+        f = jax.shard_map(
+            local, mesh=seq_mesh,
+            in_specs=(P(None, None, "seq", None),) * 3,
+            out_specs=P(None, None, "seq", None),
+            check_vma=False,
+        )
+        txt = str(jax.make_jaxpr(f)(q, k, v))
+        return txt.count("pallas_call")
+
+    assert count_pallas("circulant", 64) < count_pallas("dense", 0)

@@ -38,6 +38,7 @@ from tpu_flash.ops.schedule import (
     CirculantSchedule,
     LocalSchedule,
     Schedule,
+    ShiftedMaskSchedule,
     cdiv,
 )
 from tpu_flash.utils.layout import (
@@ -228,6 +229,9 @@ def flash_attention(
     scale: Optional[float] = None,
     radius: int = 0,
     section: int = 0,
+    shift: int = 0,
+    wrap_n: int = 0,
+    shifted_causal: bool = False,
     block_q: int = 512,
     block_kv: int = 512,
     return_lse: bool = False,
@@ -236,8 +240,11 @@ def flash_attention(
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
 
     ``schedule`` ∈ {"dense", "causal", "local", "local_causal", "block",
-    "circulant"}. ``radius`` configures local/circulant bands; ``section``
-    the block-diagonal chunk. Sequence lengths are padded to block multiples
+    "circulant", "shifted"}. ``radius`` configures local/circulant bands;
+    ``section`` the block-diagonal chunk; ``shift``/``wrap_n``/
+    ``shifted_causal`` parameterize the ring-hop "shifted" schedule
+    (ShiftedMaskSchedule, with ``radius=-1`` meaning no band — pass
+    radius≥0 to band it). Sequence lengths are padded to block multiples
     internally; outputs are sliced back.
     """
     if q.ndim != 4:
@@ -289,6 +296,11 @@ def flash_attention(
         sched = BlockDiagonalSchedule(**common, section=section)
     elif schedule == "circulant":
         sched = CirculantSchedule(**common, radius=radius)
+    elif schedule == "shifted":
+        sched = ShiftedMaskSchedule(
+            **common, shift=shift, radius=radius, wrap_n=wrap_n,
+            causal=shifted_causal,
+        )
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
 

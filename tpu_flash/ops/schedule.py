@@ -293,6 +293,54 @@ class BlockDiagonalSchedule(Schedule):
 
 
 @dataclasses.dataclass(frozen=True)
+class ShiftedMaskSchedule(Schedule):
+    """Dense iteration with a mask over *globally shifted* coordinates —
+    the ring-attention hop schedule.
+
+    When K/V shards rotate around a mesh ring, the relative offset between
+    the local Q shard and the hop's K/V shard is a compile-time constant
+    (hop index × shard length, modulo the ring for wraparound bands), so
+    every hop of causal / local / circulant ring attention is expressible
+    as this schedule with static ``shift``:
+
+    * ``q_global = q_pos + shift``, ``k_global = k_pos``;
+    * ``radius ≥ 0`` restricts to the band ``|q_global − k_global| ≤ radius``
+      (wrapped mod ``wrap_n`` when ``wrap_n > 0`` — the circulant case);
+    * ``causal=True`` additionally requires ``k_global ≤ q_global``.
+
+    Iteration is dense over the (small) hop shard; the big sparsity win in
+    a ring is skipping whole hops (parallel/ring.py), not blocks within one.
+    """
+
+    shift: int = 0
+    radius: int = -1
+    wrap_n: int = 0
+    causal: bool = False
+
+    @property
+    def has_mask(self) -> bool:
+        return True
+
+    def mask(self, q_pos, k_pos):
+        qg = q_pos + self.shift
+        m = None
+        if self.radius >= 0:
+            if self.wrap_n > 0:
+                delta = jnp.mod(qg - k_pos, self.wrap_n)
+                m = jnp.logical_or(
+                    delta <= self.radius, delta >= self.wrap_n - self.radius
+                )
+            else:
+                m = jnp.abs(qg - k_pos) <= self.radius
+        if self.causal:
+            c = k_pos <= qg
+            m = c if m is None else jnp.logical_and(m, c)
+        if m is None:
+            m = jnp.ones(q_pos.shape, bool)
+        return self._and_kv_pad(m, k_pos)
+
+
+@dataclasses.dataclass(frozen=True)
 class CirculantSchedule(Schedule):
     """Wraparound band over halo-extended K/V.
 

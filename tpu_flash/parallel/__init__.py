@@ -1,0 +1,2 @@
+from tpu_flash.parallel.mesh import make_mesh
+from tpu_flash.parallel.ring import ring_attention, ring_dense_fa, merge_partials
