@@ -113,8 +113,13 @@ def apply_rope(x, positions, theta):
     return out.astype(x.dtype)
 
 
-def _attn_full(q, k, v, cfg: ModelConfig):
-    """Full-sequence attention (training / prefill). q: (B, N, QH, D)."""
+def _attn_full(q, k, v, cfg: ModelConfig, attn_fn=None):
+    """Full-sequence attention (training / prefill). q: (B, N, QH, D).
+
+    ``attn_fn``, when given, replaces the local kernel with a custom
+    implementation on (B, H, N, D) tensors — e.g. a shard_map-wrapped
+    ring attention for sequence-parallel training (see __graft_entry__).
+    """
     g = cfg.num_q_heads // cfg.num_kv_heads
     # GQA: expand kv heads to q heads for the dense kernel.
     k = jnp.repeat(k, g, axis=2)
@@ -122,7 +127,9 @@ def _attn_full(q, k, v, cfg: ModelConfig):
     qt = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    if cfg.attention == "sliding":
+    if attn_fn is not None:
+        o = attn_fn(qt, kt, vt)
+    elif cfg.attention == "sliding":
         o = flash.sliding_fa(
             qt, kt, vt, cfg.window, causal=True,
             block_q=cfg.block_q, block_kv=cfg.block_kv,
@@ -134,7 +141,7 @@ def _attn_full(q, k, v, cfg: ModelConfig):
     return jnp.swapaxes(o, 1, 2)  # (B, N, H, D)
 
 
-def _block(params, x, positions, cfg: ModelConfig, collect_kv=None):
+def _block(params, x, positions, cfg: ModelConfig, collect_kv=None, attn_fn=None):
     b, n, _ = x.shape
     h = rmsnorm(x, params["ln_attn"])
     q = (h @ params["wq"]).reshape(b, n, cfg.num_q_heads, cfg.head_dim)
@@ -144,7 +151,7 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None):
     k = apply_rope(k, positions, cfg.rope_theta)
     if collect_kv is not None:
         collect_kv.append((k, v))
-    o = _attn_full(q, k, v, cfg).reshape(b, n, cfg.q_dim)
+    o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, cfg.q_dim)
     x = x + o @ params["wo"]
     h = rmsnorm(x, params["ln_mlp"])
     gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
@@ -152,22 +159,22 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None):
     return x
 
 
-def forward(params, tokens, cfg: ModelConfig, positions=None):
+def forward(params, tokens, cfg: ModelConfig, positions=None, attn_fn=None):
     """Full causal forward: tokens (B, N) int32 → logits (B, N, vocab) f32."""
     b, n = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
     for layer in params["layers"]:
-        x = _block(layer, x, positions, cfg)
+        x = _block(layer, x, positions, cfg, attn_fn=attn_fn)
     x = rmsnorm(x, params["ln_f"])
     return (x @ params["embed"].T).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg: ModelConfig):
+def loss_fn(params, tokens, cfg: ModelConfig, attn_fn=None):
     """Next-token cross entropy — the training objective used by the
     multi-chip dry run and any fine-tuning use."""
-    logits = forward(params, tokens[:, :-1], cfg)
+    logits = forward(params, tokens[:, :-1], cfg, attn_fn=attn_fn)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
