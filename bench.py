@@ -1,0 +1,127 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json north star): dense flash-attention TFLOP/s on one chip
+at seqlen 8k with FP8 Q/K/V. ``vs_baseline`` is measured throughput over the
+reference's best logged number, 473.16 GFLOP/s (C++ OpenMP flash, N=2048,
+d=64, 2×Xeon 8268 — src_cpp/FlashAttantionCPPl2.out; see BASELINE.md).
+
+Embeds a correctness gate (kernel vs f32 oracle) before timing, the
+reference's bench/compare.jl:21 pattern. Detail rows go to stderr; stdout
+carries exactly one JSON line.
+
+Usage: python bench.py [--seqlen 8192] [--dtype float8_e4m3fn|int8|bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_BEST_TFLOPS = 0.47316
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqlen", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--head-dim", type=int, default=128)
+    ap.add_argument("--dtype", default="float8_e4m3fn",
+                    choices=["float8_e4m3fn", "float8_e5m2", "int8", "bf16"])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from tpu_flash.bench.harness import (
+        attention_bytes,
+        attention_flops,
+        device_peaks,
+        measure,
+    )
+    from tpu_flash.ops.oracle import dense_dpa
+    from tpu_flash.quant.flash_q import quantized_dense_fa
+    from tpu_flash.ops.flash import dense_fa
+
+    b, h, n, d = args.batch, args.heads, args.seqlen, args.head_dim
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}  config: b={b} h={h} n={n} d={d} "
+        f"dtype={args.dtype}")
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
+
+    if args.dtype == "bf16":
+        fn = jax.jit(dense_fa)
+        tol = 2.5e-2  # bf16 accumulate/rounding vs f32 oracle
+        metric = "dense_fa bf16 TFLOP/s, seqlen 8k, 1 chip"
+    else:
+        dt = args.dtype
+
+        @jax.jit
+        def fn(q, k, v):
+            return quantized_dense_fa(q, k, v, q_dtype=dt, kv_dtype=dt)
+
+        # fp8/int8 quantization error vs the unquantized f32 oracle; the
+        # tight ≤1e-2 matched-bitwidth contract is enforced in tests/.
+        tol = 0.35 if dt == "float8_e5m2" else 0.25
+        metric = f"dense_fa {args.dtype} TFLOP/s, seqlen {n}, 1 chip"
+
+    def oracle(q, k, v):
+        o, _ = dense_dpa(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        return o
+
+    flops = attention_flops(b, h, n, n, d)
+    nbytes = attention_bytes(
+        b, h, n, n, d,
+        q_bytes=1 if args.dtype != "bf16" else 2,
+        kv_bytes=1 if args.dtype != "bf16" else 2,
+    )
+
+    # Correctness gate on a slice small enough for the O(N²) oracle
+    # (the full-size oracle would need b·h·n² f32 ≈ 8.6 GB of HBM).
+    ng = min(n, 2048)
+    qg, kg, vg = q[:1, :2, :ng], k[:1, :2, :ng], v[:1, :2, :ng]
+    got = jax.block_until_ready(fn(qg, kg, vg))
+    want = jax.block_until_ready(oracle(qg, kg, vg))
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    if not err <= tol:
+        raise AssertionError(f"bench gate failed: max_abs_err={err} > {tol}")
+
+    res = measure(
+        metric, fn, (q, k, v),
+        flops=flops, bytes_moved=nbytes,
+        oracle=None, iters=args.iters,
+        config={"b": b, "h": h, "n": n, "d": d, "dtype": args.dtype},
+    )
+    res.max_abs_err = err
+    roof_dtype = "int8" if args.dtype == "int8" else "bf16"
+    log(f"gate: max_abs_err={res.max_abs_err:.4f} (tol {tol})")
+    log(f"median {res.seconds*1e3:.3f} ms  {res.tflops:.2f} TFLOP/s  "
+        f"{res.gbps:.1f} GB/s  roofline {res.roofline_fraction(roof_dtype):.1%} "
+        f"on {device_peaks()['kind']}")
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(res.tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(res.tflops / REFERENCE_BEST_TFLOPS, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -233,7 +233,7 @@ def flash_attention(
     wrap_n: int = 0,
     shifted_causal: bool = False,
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 2048,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):

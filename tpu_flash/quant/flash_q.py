@@ -87,7 +87,10 @@ def _q_fwd_kernel(
         k = k_ref[0]
         sk_row = sk_ref[0, 0].reshape(1, bkv)
         if q_quant:
-            # Native low-bit MXU dot; dequant on the score matrix.
+            # Native low-bit MXU dot; dequant on the score matrix. int8 runs
+            # the MXU's int8→int32 path; fp8 is handed to Mosaic directly —
+            # measured on v5e (no native fp8 MXU) its internal lowering beats
+            # an explicit elementwise fp8→bf16 upcast by ~1.6×.
             pref = jnp.int32 if k.dtype == jnp.int8 else jnp.float32
             raw = lax.dot_general(
                 q_ref[0], k, _NT_DIMS, preferred_element_type=pref
@@ -233,8 +236,8 @@ def quantized_flash_attention(
     scale: Optional[float] = None,
     radius: int = 0,
     section: int = 0,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int = 1024,
+    block_kv: int = 2048,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):

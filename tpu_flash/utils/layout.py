@@ -80,19 +80,38 @@ def window(
     ws = _as_tuple(window_size, nd)
     st = _as_tuple(stride if stride is not None else window_size, nd)
     pd = _as_tuple(pad, nd)
-    padding = [(p, p) for p in pd]
 
     b, c = x.shape[0], x.shape[-1]
-    # conv_general_dilated_patches wants (batch, channels, *spatial).
-    xc = jnp.moveaxis(x, -1, 1)
-    patches = lax.conv_general_dilated_patches(
-        xc, filter_shape=ws, window_strides=st, padding=padding
+    # Per-dim strided gathers, not conv_general_dilated_patches: the conv
+    # formulation materializes an identity filter of shape
+    # (c·∏ws, c, *ws) — gigabytes as a captured constant for large 1D
+    # windows — while a (nw, w) row gather per dim is O(nw·w) index data.
+    out = jnp.pad(x, [(0, 0)] + [(p, p) for p in pd] + [(0, 0)])
+    padded = out.shape[1:-1]
+    axis = 1
+    for k in range(nd):
+        nw = (padded[k] - ws[k]) // st[k] + 1
+        if nw <= 0:
+            raise ValueError(
+                f"window {ws[k]} exceeds padded spatial extent {padded[k]} "
+                f"on dim {k} (input {x.shape}; layout is (batch, *spatial, "
+                "channels) — a (b, h, n, d) attention array passed here is "
+                "usually a layout mistake)"
+            )
+        starts = jnp.arange(nw, dtype=jnp.int32) * st[k]
+        idx = starts[:, None] + jnp.arange(ws[k], dtype=jnp.int32)[None, :]
+        out = jnp.take(out, idx, axis=axis)  # inserts (nw, w) at axis
+        axis += 2
+    # (b, nw1, w1, …, nwk, wk, c) → (b, nw…, w…, c), both row-major.
+    perm = (
+        [0]
+        + [1 + 2 * k for k in range(nd)]
+        + [2 + 2 * k for k in range(nd)]
+        + [out.ndim - 1]
     )
-    # → (batch, c * prod(ws), *out_spatial); channel-major then patch offset.
-    out_spatial = patches.shape[2:]
-    nwin = math.prod(out_spatial)
-    patches = patches.reshape(b, c, math.prod(ws), nwin)
-    return patches.transpose(0, 3, 2, 1)
+    out = out.transpose(perm)
+    nwin = math.prod(out.shape[1 : 1 + nd])
+    return out.reshape(b, nwin, math.prod(ws), c)
 
 
 def _window_out_spatial(spatial, ws, st, pd):
