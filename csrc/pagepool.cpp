@@ -107,6 +107,34 @@ void pp_free_seq(void* h, int32_t slot) {
   pool->active[slot] = 0;
 }
 
+// Restore a slot to an explicit page table (checkpoint resume). The pages
+// must all be currently free and distinct; all-or-nothing like pp_admit.
+// Bypasses the decode reservation: a restore reinstates state that was
+// already admitted before the snapshot. Returns 0 on success, -1 otherwise.
+int32_t pp_restore(void* h, int32_t slot, const int32_t* pages, int32_t n) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs || pool->active[slot]) return -1;
+  if (n < 0 || n > pool->max_pages_per_seq) return -1;
+  std::vector<uint8_t> is_free(pool->total_pages, 0);
+  for (int32_t p : pool->free_stack) is_free[p] = 1;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t p = pages[i];
+    if (p < 0 || p >= pool->total_pages || !is_free[p]) return -1;
+    is_free[p] = 0;  // also rejects duplicates within `pages`
+  }
+  // is_free[p] was cleared for each taken page above, so one pass keeps
+  // exactly the still-free pages.
+  std::vector<int32_t> kept;
+  kept.reserve(pool->free_stack.size() - n);
+  for (int32_t p : pool->free_stack)
+    if (is_free[p]) kept.push_back(p);
+  pool->free_stack.swap(kept);
+  pool->tables[slot].assign(pages, pages + n);
+  pool->active[slot] = 1;
+  return 0;
+}
+
 int32_t pp_num_pages(void* h, int32_t slot) {
   auto* pool = static_cast<PagePool*>(h);
   std::lock_guard<std::mutex> lock(pool->mu);

@@ -1,0 +1,89 @@
+"""Figures from bench logs — the reference's logs→pgfplots pipeline
+(figs/seqlen/main.tex:37 reads logs/compare1.txt verbatim), rebuilt as a
+matplotlib script reading the JSONL emitted by `tpu_flash.bench.sweep`.
+
+Usage: python -m tpu_flash.bench.figures [--logs logs/] [--out figs/]
+Produces: figs/attention_seqlen.png (log-log TFLOP/s vs N per schedule,
+the reference's seqlen figure), figs/softmax_bw.png (GB/s per shape).
+Skips gracefully when matplotlib is unavailable or a log is missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load(path: str) -> list[dict]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logs", default="logs")
+    ap.add_argument("--out", default="figs")
+    args = ap.parse_args()
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib not available; skipping figures", file=sys.stderr)
+        return
+
+    os.makedirs(args.out, exist_ok=True)
+
+    attn = _load(os.path.join(args.logs, "attention.jsonl"))
+    if attn:
+        fig, ax = plt.subplots(figsize=(7, 5))
+        names = sorted({r["name"] for r in attn})
+        for name in names:
+            rows = sorted((r for r in attn if r["name"] == name),
+                          key=lambda r: r["n"])
+            ds = sorted({r["d"] for r in rows})
+            d = ds[-1]
+            pts = [(r["n"], r["tflops"]) for r in rows if r["d"] == d]
+            if pts:
+                ax.plot(*zip(*pts), marker="o", label=f"{name} (d={d})")
+        ax.set_xscale("log", base=2)
+        ax.set_yscale("log", base=10)
+        ax.set_xlabel("sequence length N")
+        ax.set_ylabel("TFLOP/s (covered work)")
+        ax.set_title("Attention kernel throughput vs sequence length")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend(fontsize=8)
+        path = os.path.join(args.out, "attention_seqlen.png")
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        print(f"wrote {path}")
+
+    sm = _load(os.path.join(args.logs, "softmax.jsonl"))
+    if sm:
+        fig, ax = plt.subplots(figsize=(7, 4))
+        shapes = sorted({(r["m"], r["n"]) for r in sm})
+        labels = [f"{m}×{n}" for m, n in shapes]
+        width = 0.35
+        for off, name in ((-width / 2, "fused_softmax"), (width / 2, "xla_softmax")):
+            ys = []
+            for m, n in shapes:
+                row = next((r for r in sm if r["name"] == name
+                            and (r["m"], r["n"]) == (m, n)), None)
+                ys.append(row["gbps"] if row else 0)
+            ax.bar([i + off for i in range(len(shapes))], ys, width, label=name)
+        ax.set_xticks(range(len(shapes)))
+        ax.set_xticklabels(labels)
+        ax.set_ylabel("GB/s")
+        ax.set_title("Softmax bandwidth: fused Pallas vs XLA")
+        ax.legend()
+        path = os.path.join(args.out, "softmax_bw.png")
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

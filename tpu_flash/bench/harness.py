@@ -150,7 +150,15 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
 
     latency = min(_timed(1) for _ in range(3))
     total = _timed(iters + 1)
-    return max((total - latency) / iters, 1e-9)
+    est = max((total - latency) / iters, 1e-9)
+    # Sub-millisecond kernels drown in the ~30 ms tunnel round trip: extend
+    # the enqueued batch until device time dominates the subtracted latency.
+    if total - latency < 8 * latency:
+        iters2 = min(int(math.ceil(max(0.25, 10 * latency) / est)), 3000)
+        if iters2 > iters:
+            total2 = _timed(iters2 + 1)
+            return max((total2 - latency) / iters2, 1e-9)
+    return est
 
 
 @dataclasses.dataclass

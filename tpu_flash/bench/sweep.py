@@ -1,0 +1,330 @@
+"""Benchmark sweep CLI — the reference's bench layer rebuilt as one tool.
+
+Reference parity: `bench/compare.jl` (dense/windowed/circulant sweeps with
+embedded correctness `@test`s), `bench/softmax.jl` + `scripts/sm_*.jl`
+(softmax vs library baseline), and the C++ CSV harness
+(src_cpp/FlashAttention.cpp:358-471, N∈{1k..32k} × d∈{64,128} sweep).
+Differences by design: JSONL+CSV artifacts under `logs/` (consumed verbatim
+by `figures.py`, the pgfplots role), roofline fractions from real device
+peaks instead of the int32-overflowing FLOP model, and decode tokens/s for
+the serving engine (no reference analog).
+
+Usage:
+    python -m tpu_flash.bench.sweep attention [--quick]
+    python -m tpu_flash.bench.sweep backward [--quick]
+    python -m tpu_flash.bench.sweep softmax
+    python -m tpu_flash.bench.sweep decode [--cache-dtype int8]
+    python -m tpu_flash.bench.sweep all --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import functools
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.bench.harness import (
+    attention_bytes,
+    attention_flops,
+    device_peaks,
+    measure,
+    schedule_coverage,
+    time_fn,
+)
+
+LOG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "logs")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(rows: list[dict], name: str) -> None:
+    os.makedirs(LOG_DIR, exist_ok=True)
+    jpath = os.path.join(LOG_DIR, f"{name}.jsonl")
+    with open(jpath, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if rows:
+        cpath = os.path.join(LOG_DIR, f"{name}.csv")
+        keys = sorted({k for r in rows for k in r})
+        with open(cpath, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
+    log(f"wrote {len(rows)} rows → {jpath}")
+
+
+def _rand(rng, *shape, dtype=jnp.bfloat16):
+    return jnp.asarray(rng.standard_normal(shape), dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention forward sweep
+# ---------------------------------------------------------------------------
+def suite_attention(quick: bool) -> list[dict]:
+    import tpu_flash as tf
+    from tpu_flash.quant.flash_q import quantized_flash_attention
+
+    rng = np.random.default_rng(0)
+    rows = []
+    b, h = 1, 8
+    seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384, 32768)
+    dims = (64,) if quick else (64, 128)
+    # (name, builder(n,d) -> (fn, coverage)); radius/section scale with n.
+    cases = []
+
+    def dense(n, d):
+        return jax.jit(tf.dense_fa), 1.0
+
+    def causal(n, d):
+        return jax.jit(functools.partial(tf.dense_fa, causal=True)), 0.5
+
+    def sliding(n, d):
+        w = min(n // 4 + 1, 1025)
+        return jax.jit(functools.partial(tf.sliding_fa, window_size=w)), w / n
+
+    def circulant(n, d):
+        w = min(n // 4 + 1, 1025)
+        return jax.jit(functools.partial(tf.circulant_fa, window_size=w)), w / n
+
+    def block(n, d):
+        sec = max(n // 16, 256)
+        return jax.jit(functools.partial(tf.block_fa, block_size=sec)), sec / n
+
+    def q_int8(n, d):
+        return jax.jit(functools.partial(
+            quantized_flash_attention, q_dtype="int8", kv_dtype="int8")), 1.0
+
+    def q_fp8(n, d):
+        return jax.jit(functools.partial(
+            quantized_flash_attention, q_dtype="float8_e4m3fn",
+            kv_dtype="float8_e4m3fn")), 1.0
+
+    cases = [("dense", dense, "bf16"), ("causal", causal, "bf16"),
+             ("sliding", sliding, "bf16"), ("circulant", circulant, "bf16"),
+             ("block", block, "bf16"),
+             ("dense_int8", q_int8, "int8"), ("dense_fp8", q_fp8, "bf16")]
+
+    def oracle_for(name, n, d):
+        """Oracle + tolerance for the correctness gate (small n only —
+        the O(N²) oracle doesn't fit HBM at 16k+)."""
+        w = min(n // 4 + 1, 1025)
+        sec = max(n // 16, 256)
+        tr = lambda x: x.transpose(0, 2, 1, 3)
+        table = {
+            "dense": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 2.5e-2),
+            "causal": (lambda q, k, v: tf.dense_dpa(q, k, v, causal=True)[0],
+                       2.5e-2),
+            "sliding": (lambda q, k, v: tf.sliding_dpa(q, k, v, w)[0], 2.5e-2),
+            "circulant": (lambda q, k, v: tf.circulant_dpa(q, k, v, w)[0],
+                          2.5e-2),
+            "block": (lambda q, k, v: tr(tf.block_dpa(tr(q), tr(k), tr(v),
+                                                      sec)), 2.5e-2),
+            # quantization error vs the unquantized oracle, not the matched-
+            # bitwidth ≤1e-2 contract (that lives in tests/test_quant.py)
+            "dense_int8": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 0.25),
+            "dense_fp8": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 0.25),
+        }
+        return table[name]
+
+    for n in seqlens:
+        for d in dims:
+            q = _rand(rng, b, h, n, d)
+            k = _rand(rng, b, h, n, d)
+            v = _rand(rng, b, h, n, d)
+            for name, builder, roof_dtype in cases:
+                fn, cov = builder(n, d)
+                flops = attention_flops(b, h, n, n, d, coverage=cov)
+                nbytes = attention_bytes(b, h, n, n, d)
+                oracle, tol = oracle_for(name, n, d) if n <= 2048 else (None, None)
+                try:
+                    res = measure(
+                        name, fn, (q, k, v), flops=flops, bytes_moved=nbytes,
+                        oracle=oracle, tol=tol,
+                        iters=5 if quick else 10,
+                        config={"n": n, "d": d, "b": b, "h": h,
+                                "coverage": round(cov, 4)},
+                    )
+                except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                    log(f"  {name} n={n} d={d} FAILED: {type(e).__name__}")
+                    continue
+                row = res.row(roof_dtype)
+                rows.append(row)
+                log(f"  {name:12s} n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms"
+                    f"  {res.tflops:7.2f} TFLOP/s  roof {row['roofline_frac']:.1%}")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# backward sweep (fwd+bwd via jax.grad — the reference never shipped a
+# working backward; ours must be both correct and fast)
+# ---------------------------------------------------------------------------
+def suite_backward(quick: bool) -> list[dict]:
+    import tpu_flash as tf
+
+    rng = np.random.default_rng(0)
+    rows = []
+    b, h, d = 1, 8, 64
+    seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384)
+    for n in seqlens:
+        q = _rand(rng, b, h, n, d)
+        k = _rand(rng, b, h, n, d)
+        v = _rand(rng, b, h, n, d)
+
+        @jax.jit
+        def fwdbwd(q, k, v):
+            def loss(q, k, v):
+                return jnp.sum(tf.dense_fa(q, k, v).astype(jnp.float32) ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        flops = attention_flops(b, h, n, n, d, backward=True)
+        nbytes = attention_bytes(b, h, n, n, d) * 3
+        res = measure(
+            "dense_fwd_bwd", fwdbwd, (q, k, v), flops=flops,
+            bytes_moved=nbytes, iters=5,
+            config={"n": n, "d": d, "b": b, "h": h},
+        )
+        rows.append(res.row("bf16"))
+        log(f"  fwd+bwd n={n:6d}  {res.seconds*1e3:8.2f} ms  "
+            f"{res.tflops:7.2f} TFLOP/s")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# softmax (reference bench/softmax.jl: naive vs fused vs NNlib)
+# ---------------------------------------------------------------------------
+def suite_softmax(quick: bool) -> list[dict]:
+    from tpu_flash.ops.softmax import fused_softmax
+
+    rng = np.random.default_rng(0)
+    rows = []
+    shapes = [(8192, 16384), (2048, 131072), (131072, 2048)]
+    for m, n in shapes:
+        x = _rand(rng, m, n, dtype=jnp.float32)
+        nbytes = x.size * 4 * 2
+        for name, fn in (
+            ("fused_softmax", jax.jit(fused_softmax)),
+            ("xla_softmax", jax.jit(lambda a: jax.nn.softmax(a, axis=-1))),
+        ):
+            got = fn(x)
+            want = jax.nn.softmax(x, axis=-1)
+            err = float(jnp.max(jnp.abs(got - want)))
+            assert err <= 1e-6, f"softmax gate: {err}"
+            sec = time_fn(fn, x, iters=10)
+            gbps = nbytes / sec / 1e9
+            rows.append({"name": name, "m": m, "n": n,
+                         "seconds": round(sec, 6), "gbps": round(gbps, 2),
+                         "hbm_frac": round(
+                             gbps * 1e9 / device_peaks()["hbm_bytes"], 4),
+                         "max_abs_err": err})
+            log(f"  {name:14s} {m}x{n}  {sec*1e3:7.3f} ms  {gbps:7.1f} GB/s")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# decode (continuous batching; tokens/s; no reference analog — north star)
+# ---------------------------------------------------------------------------
+def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
+    from tpu_flash.cache.paged_cache import CacheConfig
+    from tpu_flash.models import transformer as tfm
+    from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+    mcfg = tfm.ModelConfig(
+        vocab_size=32000,
+        dim=1024 if quick else 2048,
+        num_layers=4 if quick else 16,
+        num_q_heads=8 if quick else 16,
+        num_kv_heads=8,
+        head_dim=128,
+    )
+    ccfg = CacheConfig(
+        num_kv_heads=mcfg.num_kv_heads, head_dim=mcfg.head_dim,
+        page_size=64, total_pages=1024, max_seqs=32,
+        max_pages_per_seq=64, dtype=cache_dtype,
+    )
+    log(f"  building model dim={mcfg.dim} layers={mcfg.num_layers} "
+        f"cache={cache_dtype}")
+    params = tfm.init_params(jax.random.PRNGKey(0), mcfg)
+    eng = Engine(params, mcfg, ccfg, EngineConfig(max_batch=16))
+
+    rng = np.random.default_rng(0)
+    n_req, gen = (8, 32) if quick else (24, 96)
+    prompt_len = 128 if quick else 512
+    for rid in range(n_req):
+        eng.submit(Request(
+            rid=rid,
+            prompt=list(rng.integers(1, 31999, prompt_len)),
+            max_new_tokens=gen,
+        ))
+    t0 = time.perf_counter()
+    done = eng.run()
+    wall = time.perf_counter() - t0
+    new_tokens = sum(len(f.new_tokens) for f in done)
+    tps = new_tokens / wall
+    log(f"  engine end-to-end: {new_tokens} tokens in {wall:.2f} s "
+        f"→ {tps:.1f} tok/s (host loop includes tunnel latency)")
+
+    # Device-only decode step time (the number that scales): fixed token ids,
+    # full batch, timed with the enqueue-K harness.
+    slots = jnp.arange(16, dtype=jnp.int32)
+    toks = jnp.ones((16,), jnp.int32)
+    pos = jnp.full((16,), prompt_len, jnp.int32)
+
+    # params/caches must be jit ARGUMENTS: closed-over they become baked-in
+    # constants and the compile payload carries the whole model.
+    @jax.jit
+    def step(params, caches, tokens, positions):
+        logits, _ = tfm.decode_step(params, tokens, positions, caches,
+                                    slots, mcfg)
+        return logits
+
+    sec = time_fn(step, eng.params, eng.caches, toks, pos, iters=10)
+    dev_tps = 16 / sec
+    log(f"  device decode step: {sec*1e3:.2f} ms for batch 16 "
+        f"→ {dev_tps:.0f} tok/s/chip")
+    return [{
+        "name": f"decode_{cache_dtype}",
+        "tokens_per_s_e2e": round(tps, 1),
+        "tokens_per_s_device": round(dev_tps, 1),
+        "decode_step_ms": round(sec * 1e3, 3),
+        "batch": 16, "prompt_len": prompt_len, "gen": gen,
+        "dim": mcfg.dim, "layers": mcfg.num_layers,
+        "cache_dtype": cache_dtype,
+    }]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("suite", choices=["attention", "backward", "softmax",
+                                      "decode", "all"])
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cache-dtype", default="int8")
+    args = ap.parse_args()
+
+    log(f"device: {device_peaks()['kind']}")
+    if args.suite in ("attention", "all"):
+        emit(suite_attention(args.quick), "attention")
+    if args.suite in ("backward", "all"):
+        emit(suite_backward(args.quick), "backward")
+    if args.suite in ("softmax", "all"):
+        emit(suite_softmax(args.quick), "softmax")
+    if args.suite in ("decode", "all"):
+        emit(suite_decode(args.cache_dtype, args.quick), "decode")
+
+
+if __name__ == "__main__":
+    main()

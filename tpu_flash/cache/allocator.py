@@ -53,6 +53,13 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.pp_restore.restype = ctypes.c_int32
+        lib.pp_restore.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -142,6 +149,31 @@ class PageAllocator:
         if self._lib is not None:
             return self._lib.pp_num_pages(self._h, slot)
         return len(self._tables[slot])
+
+    def restore(self, slot: int, pages) -> bool:
+        """Reinstate a slot's exact page table (checkpoint resume).
+
+        All pages must currently be free; all-or-nothing. Unlike
+        :meth:`admit`, bypasses the decode reservation — the pages were
+        already admitted before the snapshot was taken.
+        """
+        pages = np.asarray(pages, np.int32)
+        if self._lib is not None:
+            buf = (ctypes.c_int32 * len(pages))(*pages.tolist())
+            return self._lib.pp_restore(self._h, slot, buf, len(pages)) == 0
+        if (
+            slot < 0
+            or slot >= self.max_seqs
+            or self._active[slot]
+            or len(pages) > self.max_pages_per_seq
+            or len(set(pages.tolist())) != len(pages)
+            or not set(pages.tolist()) <= set(self._free)
+        ):
+            return False
+        self._free = [p for p in self._free if p not in set(pages.tolist())]
+        self._tables[slot] = list(pages.tolist())
+        self._active[slot] = True
+        return True
 
     def table(self, slot: int) -> np.ndarray:
         """Slot's page ids padded with zeros to max_pages_per_seq."""

@@ -58,7 +58,19 @@ def fused_softmax(
         rows *= s
     x2 = xt.reshape(rows, n)
 
-    br = min(block_rows, rows)
+    # VMEM budget: a fiber must be VMEM-resident for the one-pass kernel —
+    # the reference's cache-derived Bc sizing (src/dense.jl:34), here per
+    # fiber length. Scoped-vmem limit observed on v5e is 16 MB and in/out
+    # double buffering keeps 4 row-blocks live, so cap blocks at ≈2 MB.
+    # Fibers too long for even an 8-row block fall back to XLA's softmax
+    # (a chunked multi-pass kernel would match XLA's HBM traffic anyway —
+    # the fused win exists only for VMEM-resident fibers).
+    if n * 4 * 8 > (2 << 20):
+        out = jax.nn.softmax(x2.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return jnp.moveaxis(out.reshape(*lead, n), -1, axis)
+    budget_rows = max(int((2 << 20) // max(n * 4, 1)), 8)
+    br = min(block_rows, rows, budget_rows)
+    br = max(br // 8 * 8, 1) if br >= 8 else br
     rows_pad = cdiv(rows, br) * br
     if rows_pad != rows:
         x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))

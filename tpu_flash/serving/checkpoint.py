@@ -1,0 +1,130 @@
+"""Checkpoint / resume for the serving engine — weights + live KV-cache.
+
+The reference persists nothing but benchmark logs (SURVEY.md §5); an
+inference engine needs restartable state: model weights, the paged KV-cache
+device arrays, the native allocator's page tables, and the host-side request
+bookkeeping. A snapshot taken between engine steps (the quiesce point — the
+engine loop is synchronous, so any point outside :meth:`Engine.step` is
+quiescent) restores to an engine that continues decoding the same requests
+with bit-identical cache contents.
+
+Arrays (params + per-layer caches) go through orbax; host state (request
+queues, allocator tables, RNG) is JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpu_flash.cache.paged_cache import CacheConfig
+from tpu_flash.models import transformer as tfm
+from tpu_flash.serving.engine import Engine, EngineConfig, FinishedRequest, Request, _Running
+
+_HOST_STATE = "host_state.json"
+_CACHE_ARRAYS = ("k_pages", "v_pages", "k_scales", "v_scales", "page_tables", "lengths")
+_ARRAYS = "arrays"
+
+
+def _running_to_dict(r: _Running) -> dict:
+    return dataclasses.asdict(r)
+
+
+def save_checkpoint(path: str, engine: Engine) -> None:
+    """Snapshot the engine (weights, caches, allocator, queues) to ``path``.
+
+    Must be called between engine steps (not re-entrantly from a hook).
+    """
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+
+    arrays = {
+        "params": engine.params,
+        "caches": [
+            {f: getattr(c, f) for f in _CACHE_ARRAYS if getattr(c, f) is not None}
+            for c in engine.caches
+        ],
+    }
+    # Convert to host np arrays; orbax handles the rest.
+    arrays = jax.tree_util.tree_map(np.asarray, arrays)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, _ARRAYS), arrays, force=True)
+
+    alloc_tables = {
+        str(slot): engine._alloc.table(slot)[: engine._alloc.num_pages(slot)].tolist()
+        for slot in engine.running
+    }
+    host = {
+        "model_cfg": dataclasses.asdict(engine.mcfg),
+        "cache_cfg": dataclasses.asdict(engine.ccfg),
+        "engine_cfg": {
+            **dataclasses.asdict(engine.ecfg),
+            "prefill_buckets": list(engine.ecfg.prefill_buckets),
+        },
+        "waiting": [dataclasses.asdict(r) for r in engine.waiting],
+        "running": {str(s): _running_to_dict(r) for s, r in engine.running.items()},
+        "finished": [dataclasses.asdict(f) for f in engine.finished],
+        "free_slots": list(engine._free_slots),
+        "alloc_tables": alloc_tables,
+        "rng_state": engine._rng.bit_generator.state,
+        "sample_key": np.asarray(engine._key).tolist(),
+    }
+    def _np_default(o):
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    with open(os.path.join(path, _HOST_STATE), "w") as f:
+        json.dump(host, f, default=_np_default)
+
+
+def load_checkpoint(path: str) -> Engine:
+    """Rebuild an engine from :func:`save_checkpoint` output and resume."""
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _HOST_STATE)) as f:
+        host = json.load(f)
+
+    mcfg = tfm.ModelConfig(**host["model_cfg"])
+    ccfg = CacheConfig(**host["cache_cfg"])
+    ecfg_d = dict(host["engine_cfg"])
+    ecfg_d["prefill_buckets"] = tuple(ecfg_d["prefill_buckets"])
+    ecfg = EngineConfig(**ecfg_d)
+
+    ckpt = ocp.PyTreeCheckpointer()
+    arrays = ckpt.restore(os.path.join(path, _ARRAYS))
+
+    engine = Engine(arrays["params"], mcfg, ccfg, ecfg)
+    # Overwrite freshly-created caches with the snapshot (page tables,
+    # lengths, scales and data all live in the pytree).
+    import jax.numpy as jnp
+
+    engine.caches = [
+        dataclasses.replace(
+            engine.caches[i],
+            **{k: jnp.asarray(v) for k, v in arrays["caches"][i].items()},
+        )
+        for i in range(mcfg.num_layers)
+    ]
+
+    from collections import deque
+
+    engine.waiting = deque(Request(**r) for r in host["waiting"])
+    engine.running = {
+        int(s): _Running(**r) for s, r in host["running"].items()
+    }
+    engine.finished = [FinishedRequest(**f) for f in host["finished"]]
+    engine._free_slots = deque(host["free_slots"])
+    for s, table in host["alloc_tables"].items():
+        if not engine._alloc.restore(int(s), table):
+            raise RuntimeError(f"allocator restore failed for slot {s}")
+    engine._rng.bit_generator.state = host["rng_state"]
+    engine._key = jnp.asarray(np.asarray(host["sample_key"], np.uint32))
+    return engine

@@ -36,6 +36,23 @@ from tpu_flash.cache.paged_cache import CacheConfig, PagedKVCache
 from tpu_flash.models import transformer as tfm
 
 
+def _device_sample(logits: jnp.ndarray, temps: jnp.ndarray, key) -> jnp.ndarray:
+    """On-device next-token choice: greedy for temp<=0, Gumbel-max otherwise.
+
+    Keeps the decode loop's host traffic to one int per lane per step —
+    fetching full logits over the device link costs more than the step
+    itself (measured: 2 MB logits ≈ the whole decode step under the TPU
+    tunnel).
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    sampled = jnp.argmax(logits / t + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -106,6 +123,7 @@ class Engine:
         self.running: dict[int, _Running] = {}
         self.finished: List[FinishedRequest] = []
         self._rng = np.random.default_rng(engine_cfg.seed)
+        self._key = jax.random.PRNGKey(engine_cfg.seed)
         self._decode_fn = self._build_decode()
         self._prefill_fns = {}
 
@@ -115,12 +133,12 @@ class Engine:
         mcfg, ecfg = self.mcfg, self.ecfg
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def run(params, caches, tokens, positions, slots):
+        def run(params, caches, tokens, positions, slots, temps, key):
             logits, caches = tfm.decode_step(
                 params, tokens, positions, caches, slots, mcfg,
                 pages_bound=ecfg.pages_bound,
             )
-            return logits, caches
+            return _device_sample(logits, temps, key), caches
 
         return run
 
@@ -129,12 +147,13 @@ class Engine:
             mcfg = self.mcfg
 
             @jax.jit
-            def run(params, tokens, length):
+            def run(params, tokens, length, temp, key):
                 logits_all, kv = _prefill_all_logits(params, tokens, mcfg)
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
                 )
-                return logits, kv
+                tok = _device_sample(logits, temp[None], key)[0]
+                return tok, kv
 
             self._prefill_fns[bucket] = run
         return self._prefill_fns[bucket]
@@ -201,8 +220,10 @@ class Engine:
         n = len(req.prompt)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = req.prompt
-        logits, kv = self._prefill_fn(bucket)(
-            self.params, jnp.asarray(toks), jnp.int32(n)
+        self._key, sub = jax.random.split(self._key)
+        tok_dev, kv = self._prefill_fn(bucket)(
+            self.params, jnp.asarray(toks), jnp.int32(n),
+            jnp.float32(req.temperature), sub,
         )
         # write each layer's K/V into the cache (padded tail is page-covered
         # and masked by length).
@@ -214,7 +235,7 @@ class Engine:
             self.caches[li] = dataclasses.replace(
                 self.caches[li], lengths=self.caches[li].lengths.at[slot].set(n)
             )
-        tok = self._sample(np.asarray(logits)[0], req.temperature)
+        tok = int(tok_dev)
         self.running[slot] = _Running(
             rid=req.rid,
             slot=slot,
@@ -227,14 +248,6 @@ class Engine:
             next_token=int(tok),
         )
         self._maybe_finish(slot)
-
-    def _sample(self, logits: np.ndarray, temperature: float) -> int:
-        if temperature <= 0.0:
-            return int(np.argmax(logits))
-        p = logits / temperature
-        p = np.exp(p - p.max())
-        p /= p.sum()
-        return int(self._rng.choice(len(p), p=p))
 
     def _ensure_capacity(self, slot: int) -> bool:
         """Make sure the slot can hold one more token; extend or preempt."""
@@ -275,6 +288,7 @@ class Engine:
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
         pos_np = np.zeros(mb, np.int32)
+        temps_np = np.zeros(mb, np.float32)
         lanes = []
         for lane, slot in enumerate(sorted(self.running)):
             if lane >= mb:
@@ -283,20 +297,24 @@ class Engine:
             slots_np[lane] = slot
             toks_np[lane] = r.next_token
             pos_np[lane] = len(r.tokens) - 1  # position of the new token
+            temps_np[lane] = r.temperature
             lanes.append(slot)
-        logits, self.caches = self._decode_fn(
+        self._key, sub = jax.random.split(self._key)
+        next_tok, self.caches = self._decode_fn(
             self.params,
             self.caches,
             jnp.asarray(toks_np),
             jnp.asarray(pos_np),
             jnp.asarray(slots_np),
+            jnp.asarray(temps_np),
+            sub,
         )
-        logits = np.asarray(logits)
+        next_tok = np.asarray(next_tok)
         for lane, slot in enumerate(lanes):
             r = self.running[slot]
-            tok = self._sample(logits[lane], r.temperature)
-            r.tokens.append(int(tok))
-            r.next_token = int(tok)
+            tok = int(next_tok[lane])
+            r.tokens.append(tok)
+            r.next_token = tok
             self._maybe_finish(slot)
 
     def _maybe_finish(self, slot: int) -> None:
