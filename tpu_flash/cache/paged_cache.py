@@ -167,31 +167,18 @@ class PagedKVCache:
         The target page must already be allocated in each slot's table.
         Increments lengths.
         """
-        cfg = self.config
-        pos = self.lengths[slots]  # (B,)
-        logical_page = pos // cfg.page_size
-        offset = pos % cfg.page_size
-        phys = self.page_tables[slots, logical_page]  # (B,)
+        # Fused Pallas RMW (quantize in-register, one page block per lane):
+        # the XLA scatter formulation (`.at[:, phys, offset].set`) costs
+        # ~1.3 ms per layer on v5e — scatter serializes per index.
+        from tpu_flash.ops.paged import fused_append
 
-        k_vals, k_sc = self._encode(k)  # (B, kh, stor_dim)
-        v_vals, v_sc = self._encode(v)
-        # scatter: k_pages[h, phys[b], offset[b]] = k_vals[b, h]
-        k_pages = self.k_pages.at[:, phys, offset].set(
-            jnp.swapaxes(k_vals, 0, 1)
-        )
-        v_pages = self.v_pages.at[:, phys, offset].set(
-            jnp.swapaxes(v_vals, 0, 1)
-        )
-        k_scales, v_scales = self.k_scales, self.v_scales
-        if k_sc is not None:
-            k_scales = k_scales.at[:, phys, offset].set(jnp.swapaxes(k_sc, 0, 1))
-            v_scales = v_scales.at[:, phys, offset].set(jnp.swapaxes(v_sc, 0, 1))
+        k_pages, v_pages, k_scales, v_scales = fused_append(self, slots, k, v)
         return dataclasses.replace(
             self,
             k_pages=k_pages,
             v_pages=v_pages,
-            k_scales=k_scales,
-            v_scales=v_scales,
+            k_scales=k_scales if k_scales is not None else self.k_scales,
+            v_scales=v_scales if v_scales is not None else self.v_scales,
             lengths=self.lengths.at[slots].add(1),
         )
 

@@ -118,6 +118,161 @@ def _paged_kernel(
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def _append_kernel(
+    # scalar prefetch
+    phys_ref,
+    off_ref,
+    # inputs
+    kn_ref,  # (1, kh, d) new K for this lane
+    vn_ref,
+    kp_in,   # (kh, 1, page, stor) aliased page block (read side)
+    vp_in,
+    *rest,
+    page: int,
+    quantized: bool,
+    int4: bool,
+):
+    if quantized:
+        (ks_in, vs_in, kp_out, vp_out, ks_out, vs_out) = rest
+    else:
+        (kp_out, vp_out) = rest
+        ks_in = vs_in = ks_out = vs_out = None
+
+    b = pl.program_id(0)
+    off = off_ref[b]
+    row_hit = lax.broadcasted_iota(jnp.int32, (1, page, 1), 1) == off
+
+    def encode(x):
+        """(kh, d) f32 → (values (kh, stor), scales (kh, 1) | None)."""
+        if not quantized:
+            return x.astype(kp_out.dtype), None
+        qmax = 7.0 if int4 else 127.0
+        qmin = -8.0 if int4 else -127.0  # match PagedKVCache._encode exactly
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-12) / qmax
+        q = jnp.clip(jnp.round(x / sc), qmin, qmax).astype(jnp.int32)
+        if int4:
+            d = q.shape[-1]
+            lo = q[:, : d // 2] & 0x0F
+            hi = (q[:, d // 2 :] & 0x0F) << 4
+            q = lo | hi
+        return q.astype(jnp.int8), sc
+
+    def rmw(pages_in, pages_out, scales_in, scales_out, xn_ref):
+        x = xn_ref[0].astype(jnp.float32)  # (kh, d)
+        vals, sc = encode(x)
+        old = pages_in[...]  # (kh, 1, page, stor)
+        # row `off` of the page gets vals[h]; everything else kept. The
+        # merge runs in 32-bit: Mosaic cannot relayout sub-32-bit vectors
+        # through the rank-4 broadcast reshape ("unsupported shape cast"
+        # on vector<2x32xi8>).
+        wd = (jnp.int32 if jnp.issubdtype(pages_out.dtype, jnp.integer)
+              else jnp.float32)
+        upd = jnp.where(
+            row_hit[None],                        # (1, 1, page, 1)
+            vals.astype(wd)[:, None, None, :],    # (kh, 1, 1, stor)
+            old.astype(wd),
+        )
+        pages_out[...] = upd.astype(pages_out.dtype)
+        if scales_out is not None:
+            olds = scales_in[...]  # (kh, 1, 1, page)
+            col_hit = lax.broadcasted_iota(jnp.int32, (1, 1, 1, page), 3) == off
+            scales_out[...] = jnp.where(col_hit, sc[:, :, None, None], olds)
+
+    rmw(kp_in, kp_out, ks_in, ks_out, kn_ref)
+    rmw(vp_in, vp_out, vs_in, vs_out, vn_ref)
+
+
+def fused_append(
+    cache: PagedKVCache,
+    slots: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """One-token-per-slot cache append as a single Pallas kernel.
+
+    Replaces the XLA scatter path (``.at[:, phys, offset].set``) which costs
+    ~1.3 ms per layer on v5e — scatter on TPU serializes per index — with a
+    scalar-prefetched read-modify-write of exactly one page block per lane,
+    quantization fused in-register. Returns the four updated page arrays
+    (values + scales; scales are None for unquantized caches).
+    """
+    cfg = cache.config
+    b = slots.shape[0]
+    kh, d, page = cfg.num_kv_heads, cfg.head_dim, cfg.page_size
+    stor = cfg.storage_head_dim
+    quantized = cfg.quantized
+    int4 = cfg.dtype == "int4"
+    if interpret is None:
+        interpret = _interpret_default()
+
+    pos = cache.lengths[slots]
+    phys = cache.page_tables[slots, pos // page].astype(jnp.int32)
+    off = (pos % page).astype(jnp.int32)
+
+    if k.shape != (b, kh, d) or v.shape != (b, kh, d):
+        raise ValueError(
+            f"append expects k/v of shape {(b, kh, d)}, got {k.shape}/{v.shape}"
+        )
+    kn, vn = k, v
+
+    page_spec = pl.BlockSpec(
+        (kh, 1, page, stor), lambda bi, phys, off: (0, phys[bi], 0, 0)
+    )
+    # scales ride as (kh, P, 1, page) so the block's trailing dims satisfy
+    # the TPU (8,128)-or-full-dim tiling rule (same trick as paged_attention)
+    scale_spec = pl.BlockSpec(
+        (kh, 1, 1, page), lambda bi, phys, off: (0, phys[bi], 0, 0)
+    )
+    new_spec = pl.BlockSpec((1, kh, d), lambda bi, phys, off: (bi, 0, 0))
+
+    in_specs = [new_spec, new_spec, page_spec, page_spec]
+    inputs = [kn, vn, cache.k_pages, cache.v_pages]
+    out_specs = [page_spec, page_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+        jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+    ]
+    # alias indices count scalar-prefetch args first (2 of them)
+    aliases = {4: 0, 5: 1}
+    if quantized:
+        sc_shape = cache.k_scales.shape  # (kh, P, page)
+        sc4 = (kh, sc_shape[1], 1, page)
+        in_specs += [scale_spec, scale_spec]
+        inputs += [cache.k_scales.reshape(sc4), cache.v_scales.reshape(sc4)]
+        out_specs += [scale_spec, scale_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct(sc4, jnp.float32),
+            jax.ShapeDtypeStruct(sc4, jnp.float32),
+        ]
+        aliases = {4: 0, 5: 1, 6: 2, 7: 3}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _append_kernel, page=page, quantized=quantized, int4=int4
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(phys, off, *inputs)
+    if quantized:
+        return (outs[0], outs[1],
+                outs[2].reshape(sc_shape), outs[3].reshape(sc_shape))
+    return outs[0], outs[1], None, None
+
+
 def paged_attention(
     q: jnp.ndarray,
     cache: PagedKVCache,
@@ -218,7 +373,7 @@ def paged_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, page_tables, *inputs)

@@ -58,6 +58,44 @@ def circulant_neighbors(n: int, w: int) -> jnp.ndarray:
     return jnp.mod(i + o, n)
 
 
+def circulant_matrix(values: jnp.ndarray) -> "jax.experimental.sparse.BCOO":
+    """Build the N×N band-circulant sparse matrix from per-entry values.
+
+    ``values`` is ``(n, w)`` (``w`` odd): ``A[i, (i + o) mod n] =
+    values[i, c]`` for offset ``o = c - (w-1)//2``. The JAX-native
+    re-expression of the reference's CSC builder ``circulant(V)``
+    (src/utils.jl:19-30) — BCOO instead of CSC because XLA's sparse
+    support is COO-based.
+    """
+    from jax.experimental import sparse
+
+    n, w = values.shape
+    idx_j = circulant_neighbors(n, w)
+    idx_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, w))
+    indices = jnp.stack([idx_i.reshape(-1), idx_j.reshape(-1)], axis=-1)
+    return sparse.BCOO((values.reshape(-1), indices), shape=(n, n))
+
+
+def batch_circulant(values: jnp.ndarray) -> "jax.experimental.sparse.BCOO":
+    """Batched circulant builder: ``(b, n, w)`` → BCOO ``(b, n, n)``.
+
+    The reference block-diagonalizes per-batch circulants into one big
+    sparse matrix (``batch_circulant``, src/utils.jl:32-34) because Julia's
+    sparse matvec is 2D-only; BCOO batch dimensions make the block-diag
+    embedding unnecessary.
+    """
+    from jax.experimental import sparse
+
+    b, n, w = values.shape
+    idx_j = circulant_neighbors(n, w)
+    idx_i = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, w))
+    indices = jnp.stack([idx_i.reshape(-1), idx_j.reshape(-1)], axis=-1)
+    indices = jnp.broadcast_to(indices[None], (b, n * w, 2))
+    return sparse.BCOO(
+        (values.reshape(b, n * w), indices), shape=(b, n, n)
+    )
+
+
 def window(
     x: jnp.ndarray,
     window_size,
