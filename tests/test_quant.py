@@ -109,3 +109,43 @@ def test_int4_quantize_roundtrip(rng):
     err = jnp.max(jnp.abs(qarray.dequantize_int4(qa) - x))
     amax = jnp.max(jnp.abs(x))
     assert float(err) <= float(amax) / 7.0 + 1e-6
+
+
+@pytest.mark.parametrize("q_dtype", ["int8", "float8_e4m3fn"])
+def test_quantized_wrappers_route_through_kernels(rng, q_dtype):
+    """The public wrappers accept q_dtype/kv_dtype (BASELINE configs:
+    'windowed_fa 1D/2D … FP8 Q/K/V') and stay close to the bf16 path —
+    quantization error only, no schedule mixups."""
+    from tpu_flash.ops import flash
+
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _qkv(rng, b, h, n, d)
+
+    cases = [
+        ("dense", lambda **kw: flash.dense_fa(q, k, v, **kw)),
+        ("causal", lambda **kw: flash.dense_fa(q, k, v, causal=True, **kw)),
+        ("sliding", lambda **kw: flash.sliding_fa(q, k, v, 65, **kw)),
+        ("circulant", lambda **kw: flash.circulant_fa(q, k, v, 65, **kw)),
+        ("block", lambda **kw: flash.block_fa(q, k, v, 64, **kw)),
+    ]
+    for name, fn in cases:
+        base = fn(**_BLK)
+        quant = fn(q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
+        err = float(jnp.max(jnp.abs(base.astype(jnp.float32) - quant.astype(jnp.float32))))
+        assert err <= 0.15, f"{name}: quantized wrapper diverged, err={err}"
+        assert err > 0, f"{name}: quantized path identical — not routed?"
+
+
+@pytest.mark.parametrize("q_dtype", ["int8", "float8_e4m3fn"])
+def test_quantized_windowed_2d(rng, q_dtype):
+    from tpu_flash.ops import flash
+
+    s, h, d = 16, 2, 32
+    q = _rand(rng, 1, s, s, h, d)
+    k = _rand(rng, 1, s, s, h, d)
+    v = _rand(rng, 1, s, s, h, d)
+    base = flash.windowed_fa(q, k, v, (4, 4), stride=2, **_BLK)
+    quant = flash.windowed_fa(q, k, v, (4, 4), stride=2,
+                              q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
+    err = float(jnp.max(jnp.abs(base.astype(jnp.float32) - quant.astype(jnp.float32))))
+    assert 0 < err <= 0.15, f"2D windowed quantized err={err}"

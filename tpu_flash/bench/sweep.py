@@ -285,11 +285,14 @@ def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
     pos = jnp.full((16,), prompt_len, jnp.int32)
 
     # params/caches must be jit ARGUMENTS: closed-over they become baked-in
-    # constants and the compile payload carries the whole model.
+    # constants and the compile payload carries the whole model. The page
+    # bound is the tight power-of-4 bucket the engine itself would pick.
+    bound = eng._pages_bound() if eng.running else 16
+
     @jax.jit
     def step(params, caches, tokens, positions):
         logits, _ = tfm.decode_step(params, tokens, positions, caches,
-                                    slots, mcfg)
+                                    slots, mcfg, pages_bound=bound)
         return logits
 
     sec = time_fn(step, eng.params, eng.caches, toks, pos, iters=10)

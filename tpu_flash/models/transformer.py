@@ -120,7 +120,7 @@ def _attn_full(q, k, v, cfg: ModelConfig, attn_fn=None):
     implementation on (B, H, N, D) tensors — e.g. a shard_map-wrapped
     ring attention for sequence-parallel training (see __graft_entry__).
     """
-    g = cfg.num_q_heads // cfg.num_kv_heads
+    g = q.shape[2] // k.shape[2]
     # GQA: expand kv heads to q heads for the dense kernel.
     k = jnp.repeat(k, g, axis=2)
     v = jnp.repeat(v, g, axis=2)
@@ -141,32 +141,44 @@ def _attn_full(q, k, v, cfg: ModelConfig, attn_fn=None):
     return jnp.swapaxes(o, 1, 2)  # (B, N, H, D)
 
 
-def _block(params, x, positions, cfg: ModelConfig, collect_kv=None, attn_fn=None):
+def _psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+
+def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
+           attn_fn=None, tp_axis=None):
+    # Head counts derive from the (possibly TP-sharded) projection widths,
+    # not cfg — inside shard_map each shard owns q_heads/tp heads and the
+    # row-parallel matmuls are completed by one psum each (Megatron TP).
     b, n, _ = x.shape
     h = rmsnorm(x, params["ln_attn"])
-    q = (h @ params["wq"]).reshape(b, n, cfg.num_q_heads, cfg.head_dim)
-    k = (h @ params["wk"]).reshape(b, n, cfg.num_kv_heads, cfg.head_dim)
-    v = (h @ params["wv"]).reshape(b, n, cfg.num_kv_heads, cfg.head_dim)
+    qp, kp, vp = h @ params["wq"], h @ params["wk"], h @ params["wv"]
+    qh = qp.shape[-1] // cfg.head_dim
+    kvh = kp.shape[-1] // cfg.head_dim
+    q = qp.reshape(b, n, qh, cfg.head_dim)
+    k = kp.reshape(b, n, kvh, cfg.head_dim)
+    v = vp.reshape(b, n, kvh, cfg.head_dim)
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
     if collect_kv is not None:
         collect_kv.append((k, v))
-    o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, cfg.q_dim)
-    x = x + o @ params["wo"]
+    o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, qh * cfg.head_dim)
+    x = x + _psum(o @ params["wo"], tp_axis)
     h = rmsnorm(x, params["ln_mlp"])
     gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + (gate * (h @ params["w_up"])) @ params["w_down"]
+    x = x + _psum((gate * (h @ params["w_up"])) @ params["w_down"], tp_axis)
     return x
 
 
-def forward(params, tokens, cfg: ModelConfig, positions=None, attn_fn=None):
+def forward(params, tokens, cfg: ModelConfig, positions=None, attn_fn=None,
+            tp_axis=None):
     """Full causal forward: tokens (B, N) int32 → logits (B, N, vocab) f32."""
     b, n = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
     for layer in params["layers"]:
-        x = _block(layer, x, positions, cfg, attn_fn=attn_fn)
+        x = _block(layer, x, positions, cfg, attn_fn=attn_fn, tp_axis=tp_axis)
     x = rmsnorm(x, params["ln_f"])
     return (x @ params["embed"].T).astype(jnp.float32)
 
@@ -181,7 +193,7 @@ def loss_fn(params, tokens, cfg: ModelConfig, attn_fn=None):
     return jnp.mean(nll)
 
 
-def prefill(params, tokens, cfg: ModelConfig):
+def prefill(params, tokens, cfg: ModelConfig, tp_axis=None):
     """Forward over the prompt, returning last-position logits and the
     per-layer rotated K/V to seed the paged cache.
 
@@ -192,14 +204,14 @@ def prefill(params, tokens, cfg: ModelConfig):
     x = params["embed"][tokens]
     kv = []
     for layer in params["layers"]:
-        x = _block(layer, x, positions, cfg, collect_kv=kv)
+        x = _block(layer, x, positions, cfg, collect_kv=kv, tp_axis=tp_axis)
     x = rmsnorm(x, params["ln_f"])
     logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
     return logits, kv
 
 
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
-                pages_bound=None):
+                pages_bound=None, tp_axis=None):
     """One decode step over the paged caches.
 
     tokens: (B,) int32 new token ids; positions: (B,) their positions;
@@ -215,19 +227,22 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln_attn"])
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.num_q_heads, cfg.head_dim)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+        qp, kp, vp = h @ layer["wq"], h @ layer["wk"], h @ layer["wv"]
+        qh = qp.shape[-1] // cfg.head_dim
+        kvh = kp.shape[-1] // cfg.head_dim
+        q = qp.reshape(b, 1, qh, cfg.head_dim)
+        k = kp.reshape(b, 1, kvh, cfg.head_dim)
+        v = vp.reshape(b, 1, kvh, cfg.head_dim)
         q = apply_rope(q, pos, cfg.rope_theta)
         k = apply_rope(k, pos, cfg.rope_theta)
         cache = cache.append(slots, k[:, 0], v[:, 0])
         o = paged_attention(
             q[:, 0].astype(x.dtype), cache, slots, pages_bound=pages_bound
         )
-        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        x = x + _psum(o.reshape(b, 1, qh * cfg.head_dim) @ layer["wo"], tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
         gate = jax.nn.silu((hm @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + (gate * (hm @ layer["w_up"])) @ layer["w_down"]
+        x = x + _psum((gate * (hm @ layer["w_up"])) @ layer["w_down"], tp_axis)
         new_caches.append(cache)
     x = rmsnorm(x, params["ln_f"])
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)

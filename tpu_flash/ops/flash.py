@@ -236,6 +236,8 @@ def flash_attention(
     block_kv: int = 2048,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    q_dtype=None,
+    kv_dtype=None,
 ):
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
 
@@ -249,6 +251,21 @@ def flash_attention(
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
+    if q_dtype is not None or kv_dtype is not None:
+        # Quantized route: every schedule and N-d wrapper gains FP8/INT8
+        # through this one dispatch (kv_dtype alone = weight-only mode).
+        if schedule == "shifted":
+            raise NotImplementedError("quantized shifted schedule")
+        from tpu_flash.quant.flash_q import quantized_flash_attention
+
+        return quantized_flash_attention(
+            q, k, v,
+            q_dtype=q_dtype,
+            kv_dtype=kv_dtype if kv_dtype is not None else q_dtype,
+            schedule=schedule, scale=scale, radius=radius, section=section,
+            block_q=block_q, block_kv=min(block_kv, 2048),
+            return_lse=return_lse, interpret=interpret,
+        )
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
     dv = v.shape[-1]

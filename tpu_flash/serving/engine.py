@@ -98,11 +98,15 @@ class Engine:
         model_cfg: tfm.ModelConfig,
         cache_cfg: CacheConfig,
         engine_cfg: EngineConfig = EngineConfig(),
+        mesh=None,
+        tp_axis: str = "model",
     ):
         self.params = params
         self.mcfg = model_cfg
         self.ccfg = cache_cfg
         self.ecfg = engine_cfg
+        self.mesh = mesh
+        self.tp_axis = tp_axis if mesh is not None else None
         if engine_cfg.max_batch > cache_cfg.max_seqs - 1:
             raise ValueError("max_batch must leave one trash slot free")
         # physical page 0 is the trash page; allocator hands out [1, total).
@@ -115,6 +119,15 @@ class Engine:
         self.caches = [
             PagedKVCache.create(cache_cfg) for _ in range(model_cfg.num_layers)
         ]
+        if mesh is not None:
+            # Megatron-style TP: shard params + cache heads over tp_axis,
+            # run the jitted entry points under shard_map (Pallas kernels
+            # are not GSPMD-partitionable).
+            from tpu_flash.parallel.shardings import shard_engine_state
+
+            self.params, self.caches = shard_engine_state(
+                mesh, self.params, self.caches, tp_axis
+            )
         self._trash_slot = cache_cfg.max_seqs - 1
         self._free_slots = deque(
             s for s in range(cache_cfg.max_seqs) if s != self._trash_slot
@@ -138,17 +151,30 @@ class Engine:
         ~1 ms on short sequences). Bounds are bucketed to powers of two so
         at most log2(max_pages) variants ever compile."""
         if pages_bound not in self._decode_fns:
-            mcfg = self.mcfg
+            mcfg, axis = self.mcfg, self.tp_axis
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
             def run(params, caches, tokens, positions, slots, temps, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, mcfg,
-                    pages_bound=pages_bound,
+                    pages_bound=pages_bound, tp_axis=axis,
                 )
                 return _device_sample(logits, temps, key), caches
 
-            self._decode_fns[pages_bound] = run
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from tpu_flash.parallel.shardings import (
+                    cache_pspecs, param_pspecs,
+                )
+
+                pp = param_pspecs(self.params, axis)
+                cs = [cache_pspecs(c, axis) for c in self.caches]
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(pp, cs, P(), P(), P(), P(), P()),
+                    out_specs=(P(), cs),
+                    check_vma=False,
+                )
+            self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(1,))
         return self._decode_fns[pages_bound]
 
     def _pages_bound(self) -> int:
@@ -167,18 +193,34 @@ class Engine:
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_fns:
-            mcfg = self.mcfg
+            mcfg, axis = self.mcfg, self.tp_axis
 
-            @jax.jit
             def run(params, tokens, length, temp, key):
-                logits_all, kv = _prefill_all_logits(params, tokens, mcfg)
+                logits_all, kv = _prefill_all_logits(
+                    params, tokens, mcfg, tp_axis=axis
+                )
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
                 )
                 tok = _device_sample(logits, temp[None], key)[0]
                 return tok, kv
 
-            self._prefill_fns[bucket] = run
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from tpu_flash.parallel.shardings import param_pspecs
+
+                pp = param_pspecs(self.params, axis)
+                kv_spec = [
+                    (P(None, None, axis, None), P(None, None, axis, None))
+                    for _ in range(mcfg.num_layers)
+                ]
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(pp, P(), P(), P(), P()),
+                    out_specs=(P(), kv_spec),
+                    check_vma=False,
+                )
+            self._prefill_fns[bucket] = jax.jit(run)
         return self._prefill_fns[bucket]
 
     # ---- public API -----------------------------------------------------
@@ -364,14 +406,14 @@ class Engine:
             self._free_slots.append(slot)
 
 
-def _prefill_all_logits(params, tokens, cfg):
+def _prefill_all_logits(params, tokens, cfg, tp_axis=None):
     """Prefill returning logits for ALL positions (engine picks length-1)."""
     b, n = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
     kv = []
     for layer in params["layers"]:
-        x = tfm._block(layer, x, positions, cfg, collect_kv=kv)
+        x = tfm._block(layer, x, positions, cfg, collect_kv=kv, tp_axis=tp_axis)
     x = tfm.rmsnorm(x, params["ln_f"])
     logits = (x @ params["embed"].T).astype(jnp.float32)
     return logits, kv
