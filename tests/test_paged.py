@@ -111,3 +111,42 @@ def test_decode_loop_append_then_attend(rng):
         np.testing.assert_allclose(
             np.asarray(o[0]), np.asarray(ref[0, :, 0]), atol=3e-2
         )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+@pytest.mark.parametrize("pos0", [0, 15, 16, 31])
+def test_fused_append_attention_matches_separate(rng, dtype, pos0):
+    """paged_attention(new_kv=...) must be bit-identical to append() followed
+    by paged_attention() — including at page boundaries and empty slots."""
+    import dataclasses
+
+    cfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                      total_pages=32, max_seqs=4, max_pages_per_seq=4,
+                      dtype=dtype)
+    cache = PagedKVCache.create(cfg)
+    pt = jnp.asarray(np.arange(1, 17).reshape(4, 4), jnp.int32)
+    cache = dataclasses.replace(cache, page_tables=pt,
+                                lengths=jnp.zeros((4,), jnp.int32))
+    all_slots = jnp.arange(4, dtype=jnp.int32)
+    for _ in range(pos0):
+        cache = cache.append(
+            all_slots,
+            jnp.asarray(rng.standard_normal((4, 2, 32)), jnp.float32),
+            jnp.asarray(rng.standard_normal((4, 2, 32)), jnp.float32),
+        )
+    slots = jnp.asarray([0, 2], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((2, 4, 32)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+
+    ref_cache = cache.append(slots, kn, vn)
+    o_ref = paged.paged_attention(q, ref_cache, slots)
+    o_fused, fused_cache = paged.paged_attention(q, cache, slots, new_kv=(kn, vn))
+
+    assert jnp.array_equal(o_fused, o_ref)
+    assert jnp.array_equal(fused_cache.k_pages, ref_cache.k_pages)
+    assert jnp.array_equal(fused_cache.v_pages, ref_cache.v_pages)
+    assert jnp.array_equal(fused_cache.lengths, ref_cache.lengths)
+    if cfg.quantized:
+        assert jnp.array_equal(fused_cache.k_scales, ref_cache.k_scales)
+        assert jnp.array_equal(fused_cache.v_scales, ref_cache.v_scales)

@@ -235,9 +235,12 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
         v = vp.reshape(b, 1, kvh, cfg.head_dim)
         q = apply_rope(q, pos, cfg.rope_theta)
         k = apply_rope(k, pos, cfg.rope_theta)
-        cache = cache.append(slots, k[:, 0], v[:, 0])
-        o = paged_attention(
-            q[:, 0].astype(x.dtype), cache, slots, pages_bound=pages_bound
+        # fused append+attention: the new token's K/V are quantized and
+        # written into the tail page in the same kernel pass that reads it
+        o, cache = paged_attention(
+            q[:, 0].astype(x.dtype), cache, slots,
+            new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
+            pages_bound=pages_bound,
         )
         x = x + _psum(o.reshape(b, 1, qh * cfg.head_dim) @ layer["wo"], tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])

@@ -37,25 +37,48 @@ _NT = (((1,), (1,)), ((), ()))
 _NN = (((1,), (0,)), ((), ()))
 
 
+def _encode_row(x, *, quantized: bool, int4: bool, out_dtype):
+    """(kvh, d) f32 → (storage values (kvh, stor), scales (kvh, 1) | None).
+    Matches PagedKVCache._encode exactly (same clip ranges/eps)."""
+    if not quantized:
+        return x.astype(out_dtype), None
+    qmax = 7.0 if int4 else 127.0
+    qmin = -8.0 if int4 else -127.0
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-12) / qmax
+    qv = jnp.clip(jnp.round(x / sc), qmin, qmax).astype(jnp.int32)
+    if int4:
+        d = qv.shape[-1]
+        qv = (qv[:, : d // 2] & 0x0F) | ((qv[:, d // 2 :] & 0x0F) << 4)
+    return qv.astype(jnp.int8), sc
+
+
 def _paged_kernel(
-    # scalar prefetch
-    lens_ref,
-    pt_ref,
-    # inputs
-    q_ref,  # (1, kvh, G, d)
-    k_ref,  # (kvh, 1, page, stor)
-    v_ref,
-    *rest,
+    # scalar prefetch: lens, pt [, tpage, off when appending]
+    *all_refs,
     page: int,
     num_steps: int,
     quantized: bool,
     int4: bool,
     head_dim: int,
+    append: bool,
 ):
-    if quantized:
-        (ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr) = rest
+    if append:
+        (lens_ref, pt_ref, tpage_ref, off_ref, q_ref, k_ref, v_ref,
+         *rest) = all_refs
+        if quantized:
+            (ks_ref, vs_ref, kn_ref, vn_ref, o_ref, kp_out, vp_out,
+             ks_out, vs_out, m_scr, l_scr, acc_scr) = rest
+        else:
+            (kn_ref, vn_ref, o_ref, kp_out, vp_out,
+             m_scr, l_scr, acc_scr) = rest
+            ks_ref = vs_ref = ks_out = vs_out = None
     else:
-        (o_ref, m_scr, l_scr, acc_scr) = rest
+        (lens_ref, pt_ref, q_ref, k_ref, v_ref, *rest) = all_refs
+        if quantized:
+            (ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr) = rest
+        else:
+            (o_ref, m_scr, l_scr, acc_scr) = rest
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -69,6 +92,52 @@ def _paged_kernel(
     length = lens_ref[b]
     num_pages = pl.cdiv(length, page)
 
+    if append:
+        # Fused append: the target page is being read for attention anyway,
+        # so the new token's row is merged in-register and the block written
+        # back through the aliased output — no separate append kernel, no
+        # second pass over the page. Pages are written back on EVERY step
+        # (pass-through when not the target) so the aliased output windows
+        # never carry uninitialized VMEM.
+        off = off_ref[b]
+        # Steps past num_pages revisit the CLAMPED last page (phys_page in
+        # the index maps) and their pass-through write would clobber the
+        # merge with the stale input copy — so target-match must be on the
+        # clamped step, making the merge idempotent across revisits.
+        is_target = jnp.minimum(i, num_pages - 1) == tpage_ref[b]
+        kn, ksc = _encode_row(
+            kn_ref[0].astype(jnp.float32),
+            quantized=quantized, int4=int4, out_dtype=kp_out.dtype,
+        )
+        vn, vsc = _encode_row(
+            vn_ref[0].astype(jnp.float32),
+            quantized=quantized, int4=int4, out_dtype=vp_out.dtype,
+        )
+        row_hit = (
+            lax.broadcasted_iota(jnp.int32, (1, 1, page, 1), 2) == off
+        ) & is_target
+        wd = (jnp.int32 if jnp.issubdtype(kp_out.dtype, jnp.integer)
+              else jnp.float32)
+
+        def merge(pages_ref, pages_out, vals):
+            merged = jnp.where(
+                row_hit, vals.astype(wd)[:, None, None, :],
+                pages_ref[...].astype(wd),
+            )
+            pages_out[...] = merged.astype(pages_out.dtype)
+            return merged
+
+        k_merged = merge(k_ref, kp_out, kn)
+        v_merged = merge(v_ref, vp_out, vn)
+        if quantized:
+            col_hit = (
+                lax.broadcasted_iota(jnp.int32, (1, 1, 1, page), 3) == off
+            ) & is_target
+            ks_m = jnp.where(col_hit, ksc[:, :, None, None], ks_ref[...])
+            vs_m = jnp.where(col_hit, vsc[:, :, None, None], vs_ref[...])
+            ks_out[...] = ks_m
+            vs_out[...] = vs_m
+
     # All kv heads per grid step (batched over the head dim) — one head per
     # step multiplied the per-step fixed cost by kvh and left each DMA at a
     # single 8-16 KB page (measured 2048 steps ≈ 0.6 ms/layer of pure
@@ -76,8 +145,12 @@ def _paged_kernel(
     @pl.when(i < num_pages)
     def _step():
         q = q_ref[0]      # (kvh, G, d) — pre-scaled bf16/f32
-        k = k_ref[:, 0]   # (kvh, page, stor)
-        v = v_ref[:, 0]
+        if append:
+            k = k_merged[:, 0].astype(kp_out.dtype)  # (kvh, page, stor)
+            v = v_merged[:, 0].astype(vp_out.dtype)
+        else:
+            k = k_ref[:, 0]   # (kvh, page, stor)
+            v = v_ref[:, 0]
         if int4:
             # Mosaic has no int8 shifts; widen to int32 (sign-extending),
             # then two arithmetic shifts recover each nibble.
@@ -98,7 +171,7 @@ def _paged_kernel(
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            s = s * ks_ref[:, 0]  # (kvh, 1, page)
+            s = s * (ks_m[:, 0] if append else ks_ref[:, 0])  # (kvh, 1, page)
         # mask beyond-length keys on the (only) partial page
         k_pos = i * page + lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
         s = jnp.where(k_pos < length, s, DEFAULT_MASK_VALUE)
@@ -113,7 +186,7 @@ def _paged_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         if quantized:
-            p = p * vs_ref[:, 0]  # (kvh, 1, page)
+            p = p * (vs_m[:, 0] if append else vs_ref[:, 0])  # (kvh, 1, page)
         # (kvh, G, page) x (kvh, page, stor) -> (kvh, G, stor)
         pv = lax.dot_general(
             p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
@@ -291,21 +364,26 @@ def paged_attention(
     cache: PagedKVCache,
     slots: jnp.ndarray,
     *,
+    new_kv=None,
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Decode attention over the paged cache.
+):
+    """Decode attention over the paged cache, optionally fused with the
+    new token's cache append.
 
     Args:
-      q: ``(B, q_heads, head_dim)`` — one new token per sequence (its K/V
-        must already be appended to the cache).
+      q: ``(B, q_heads, head_dim)`` — one new token per sequence.
       cache: the paged KV cache.
       slots: ``(B,)`` sequence-slot ids.
+      new_kv: optional ``(k, v)`` each ``(B, kv_heads, head_dim)`` — the new
+        token's K/V. When given, the kernel quantizes and writes them into
+        each slot's tail page in the same pass that reads it for attention
+        (the separate append kernel costs ~0.4 ms/layer of pure overhead),
+        and the call returns ``(out, new_cache)``. Without it the K/V must
+        already be appended and the call returns just ``out``.
       pages_bound: static cap on pages scanned (defaults to the cache's
         max_pages_per_seq; pass a tighter bound when max length is known).
-
-    Returns ``(B, q_heads, head_dim)``.
     """
     cfg = cache.config
     b, qh, d = q.shape
@@ -317,6 +395,7 @@ def paged_attention(
         raise ValueError(f"q_heads {qh} not a multiple of kv_heads {kvh}")
     g = qh // kvh
     page = cfg.page_size
+    stor = cache.k_pages.shape[3]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
@@ -324,50 +403,79 @@ def paged_attention(
     num_steps = pages_bound or cfg.max_pages_per_seq
     quantized = cfg.quantized
     int4 = cfg.dtype == "int4"
+    append = new_kv is not None
 
-    lengths = cache.lengths[slots].astype(jnp.int32)  # (B,)
+    pos = cache.lengths[slots].astype(jnp.int32)  # (B,)
+    # with fused append the new token (at position pos) is part of the view
+    lengths = pos + 1 if append else pos
     page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
 
     qg = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     qg = qg.reshape(b, kvh, g, d)
 
-    def phys_page(bi, i, lens, pt):
+    n_prefetch = 4 if append else 2
+
+    def phys_page(bi, i, lens, pt, *_):
         np_b = jnp.maximum(pl.cdiv(lens[bi], page), 1)
         return pt[bi, jnp.minimum(i, np_b - 1)]
 
-    in_specs = [
-        pl.BlockSpec((1, kvh, g, d), lambda bi, i, lens, pt: (bi, 0, 0, 0)),
-        pl.BlockSpec(
-            (kvh, 1, page, cfg.storage_head_dim),
-            lambda bi, i, lens, pt: (0, phys_page(bi, i, lens, pt), 0, 0),
-        ),
-        pl.BlockSpec(
-            (kvh, 1, page, cfg.storage_head_dim),
-            lambda bi, i, lens, pt: (0, phys_page(bi, i, lens, pt), 0, 0),
-        ),
-    ]
+    def q_map(bi, i, *_):
+        return (bi, 0, 0, 0)
+
+    def kv_map(bi, i, lens, pt, *_):
+        return (0, phys_page(bi, i, lens, pt), 0, 0)
+
+    page_spec = pl.BlockSpec((kvh, 1, page, stor), kv_map)
+    sc_spec = pl.BlockSpec((kvh, 1, 1, page), kv_map)
+    new_spec = pl.BlockSpec((1, kvh, d), lambda bi, i, *_: (bi, 0, 0))
+
+    in_specs = [pl.BlockSpec((1, kvh, g, d), q_map), page_spec, page_spec]
     inputs = [qg, cache.k_pages, cache.v_pages]
+    scalars = [lengths, page_tables]
+    if append:
+        scalars += [pos // page, pos % page]
     if quantized:
         # Scales ride as (kvh, pages, 1, page) so the block's trailing dims
         # (1, page) satisfy the TPU (8,128)-or-full-dim tiling rule.
-        sc_spec = pl.BlockSpec(
-            (kvh, 1, 1, page),
-            lambda bi, i, lens, pt: (0, phys_page(bi, i, lens, pt), 0, 0),
-        )
         in_specs += [sc_spec, sc_spec]
         kvh_, tp_, pg_ = cache.k_scales.shape
+        sc4 = (kvh_, tp_, 1, pg_)
         inputs += [
-            cache.k_scales.reshape(kvh_, tp_, 1, pg_),
-            cache.v_scales.reshape(kvh_, tp_, 1, pg_),
+            cache.k_scales.reshape(sc4),
+            cache.v_scales.reshape(sc4),
         ]
+    out_specs = [pl.BlockSpec((1, kvh, g, d), q_map)]
+    out_shapes = [jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype)]
+    aliases = {}
+    if append:
+        kn, vn = new_kv
+        if kn.shape != (b, kvh, d) or vn.shape != (b, kvh, d):
+            raise ValueError(
+                f"new_kv must be {(b, kvh, d)}, got {kn.shape}/{vn.shape}"
+            )
+        in_specs += [new_spec, new_spec]
+        inputs += [kn, vn]
+        out_specs += [page_spec, page_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+            jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+        ]
+        # alias indices count scalar-prefetch args first
+        aliases = {n_prefetch + 1: 1, n_prefetch + 2: 2}
+        if quantized:
+            out_specs += [sc_spec, sc_spec]
+            out_shapes += [
+                jax.ShapeDtypeStruct(sc4, jnp.float32),
+                jax.ShapeDtypeStruct(sc4, jnp.float32),
+            ]
+            aliases[n_prefetch + 3] = 3
+            aliases[n_prefetch + 4] = 4
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(b, num_steps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, kvh, g, d), lambda bi, i, lens, pt: (bi, 0, 0, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((kvh, g, _LANES), jnp.float32),
             pltpu.VMEM((kvh, g, _LANES), jnp.float32),
@@ -381,14 +489,29 @@ def paged_attention(
         quantized=quantized,
         int4=int4,
         head_dim=d,
+        append=append,
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_tables, *inputs)
-    return out.reshape(b, qh, d)
+    )(*scalars, *inputs)
+    o = outs[0].reshape(b, qh, d)
+    if not append:
+        return o
+    import dataclasses as _dc
+
+    kw = dict(
+        k_pages=outs[1],
+        v_pages=outs[2],
+        lengths=cache.lengths.at[slots].add(1),
+    )
+    if quantized:
+        kw["k_scales"] = outs[3].reshape(cache.k_scales.shape)
+        kw["v_scales"] = outs[4].reshape(cache.v_scales.shape)
+    return o, _dc.replace(cache, **kw)
