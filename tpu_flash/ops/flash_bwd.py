@@ -31,6 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_flash.ops.flash import LN2, LOG2E
 from tpu_flash.ops.schedule import Schedule
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -70,7 +71,10 @@ def _dq_kernel(
             mask = sched.mask(q_pos, k_pos)
             if mask is not None:
                 sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
-        p = jnp.exp(sij - lse)
+        # q carries the forward's scale*log2e factor: sij is in base-2
+        # units while lse is natural — rescale lse, exp2, and put the ln2
+        # chain-rule factor on the final dq write (dL/dq_b2 = ln2*dS@k).
+        p = jnp.exp2(sij - lse * LOG2E)
         dp = lax.dot_general(
             do.astype(v.dtype), v, _NT, preferred_element_type=jnp.float32
         )
@@ -81,7 +85,7 @@ def _dq_kernel(
 
     @pl.when(s == num_steps - 1)
     def _finish():
-        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_acc[...] * LN2).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -114,7 +118,7 @@ def _dkv_kernel(
             mask = sched.mask(q_pos, k_pos)
             if mask is not None:
                 sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
-        p = jnp.exp(sij - lse)  # (bq, bkv)
+        p = jnp.exp2(sij - lse * LOG2E)  # (bq, bkv); base-2 sij, see dq
         dv_acc[...] += lax.dot_general(
             p.astype(do.dtype), do, _TN, preferred_element_type=jnp.float32
         )
@@ -128,7 +132,8 @@ def _dkv_kernel(
 
     @pl.when(s == num_steps - 1)
     def _finish():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        # dk = dSᵀ q_natural = dSᵀ (q_b2 · ln2)
+        dk_ref[0] = (dk_acc[...] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 

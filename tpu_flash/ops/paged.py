@@ -94,17 +94,14 @@ def _paged_kernel(
 
     if append:
         # Fused append: the target page is being read for attention anyway,
-        # so the new token's row is merged in-register and the block written
-        # back through the aliased output — no separate append kernel, no
-        # second pass over the page. Pages are written back on EVERY step
-        # (pass-through when not the target) so the aliased output windows
-        # never carry uninitialized VMEM.
+        # so the new token's row is merged in-register and written back
+        # through an aliased output whose index map points at the TARGET
+        # page for every step of the lane — the block is written exactly
+        # once (at i == tpage) and Pallas flushes it at the lane boundary.
+        # Writing every visited page back instead measurably serializes the
+        # input pipeline.
         off = off_ref[b]
-        # Steps past num_pages revisit the CLAMPED last page (phys_page in
-        # the index maps) and their pass-through write would clobber the
-        # merge with the stale input copy — so target-match must be on the
-        # clamped step, making the merge idempotent across revisits.
-        is_target = jnp.minimum(i, num_pages - 1) == tpage_ref[b]
+        is_target = i == tpage_ref[b]
         kn, ksc = _encode_row(
             kn_ref[0].astype(jnp.float32),
             quantized=quantized, int4=int4, out_dtype=kp_out.dtype,
@@ -119,24 +116,28 @@ def _paged_kernel(
         wd = (jnp.int32 if jnp.issubdtype(kp_out.dtype, jnp.integer)
               else jnp.float32)
 
-        def merge(pages_ref, pages_out, vals):
-            merged = jnp.where(
+        def merged_pages(pages_ref, vals):
+            return jnp.where(
                 row_hit, vals.astype(wd)[:, None, None, :],
                 pages_ref[...].astype(wd),
             )
-            pages_out[...] = merged.astype(pages_out.dtype)
-            return merged
 
-        k_merged = merge(k_ref, kp_out, kn)
-        v_merged = merge(v_ref, vp_out, vn)
+        k_merged = merged_pages(k_ref, kn)
+        v_merged = merged_pages(v_ref, vn)
         if quantized:
             col_hit = (
                 lax.broadcasted_iota(jnp.int32, (1, 1, 1, page), 3) == off
             ) & is_target
             ks_m = jnp.where(col_hit, ksc[:, :, None, None], ks_ref[...])
             vs_m = jnp.where(col_hit, vsc[:, :, None, None], vs_ref[...])
-            ks_out[...] = ks_m
-            vs_out[...] = vs_m
+
+        @pl.when(is_target)
+        def _write_target_page():
+            kp_out[...] = k_merged.astype(kp_out.dtype)
+            vp_out[...] = v_merged.astype(vp_out.dtype)
+            if quantized:
+                ks_out[...] = ks_m
+                vs_out[...] = vs_m
 
     # All kv heads per grid step (batched over the head dim) — one head per
     # step multiplied the per-step fixed cost by kvh and left each DMA at a
@@ -455,7 +456,13 @@ def paged_attention(
             )
         in_specs += [new_spec, new_spec]
         inputs += [kn, vn]
-        out_specs += [page_spec, page_spec]
+
+        def target_map(bi, i, lens, pt, tpage, off):
+            return (0, pt[bi, tpage[bi]], 0, 0)
+
+        t_page_spec = pl.BlockSpec((kvh, 1, page, stor), target_map)
+        t_sc_spec = pl.BlockSpec((kvh, 1, 1, page), target_map)
+        out_specs += [t_page_spec, t_page_spec]
         out_shapes += [
             jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
             jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
@@ -463,7 +470,7 @@ def paged_attention(
         # alias indices count scalar-prefetch args first
         aliases = {n_prefetch + 1: 1, n_prefetch + 2: 2}
         if quantized:
-            out_specs += [sc_spec, sc_spec]
+            out_specs += [t_sc_spec, t_sc_spec]
             out_shapes += [
                 jax.ShapeDtypeStruct(sc4, jnp.float32),
                 jax.ShapeDtypeStruct(sc4, jnp.float32),
