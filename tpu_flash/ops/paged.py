@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.cache.paged_cache import PagedKVCache
-from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, _interpret_default
+from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LOG2E, _interpret_default
 from tpu_flash.ops.schedule import cdiv
 
 _LANES = 128
@@ -181,8 +181,8 @@ def _paged_kernel(
         l_prev = l_scr[:, :, :1]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -411,7 +411,10 @@ def paged_attention(
     lengths = pos + 1 if append else pos
     page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
 
-    qg = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    # base-2 softmax: log2(e) rides the q prescale (see ops/flash.py); the
+    # quantized cache's K scales multiply s elementwise afterwards, which
+    # commutes with the constant factor.
+    qg = (q.astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     qg = qg.reshape(b, kvh, g, d)
 
     n_prefetch = 4 if append else 2

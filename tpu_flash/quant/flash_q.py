@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.ops.flash import (
     DEFAULT_MASK_VALUE,
+    LN2,
+    LOG2E,
     _LANES,
     _NT_DIMS,
     _interpret_default,
@@ -95,7 +97,9 @@ def _q_fwd_kernel(
             raw = lax.dot_general(
                 q_ref[0], k, _NT_DIMS, preferred_element_type=pref
             ).astype(jnp.float32)
-            sq_col = jnp.expand_dims(sq_ref[0, 0], -1)  # (bq, 1)
+            # log2(e) rides the per-row dequant scale: the hot exp below
+            # becomes a bare exp2 with no extra elementwise work.
+            sq_col = jnp.expand_dims(sq_ref[0, 0], -1) * LOG2E  # (bq, 1)
             sij = raw * sq_col * sk_row
         else:
             # Weight-only: dequant K to bf16 in-register, scale columns.
@@ -117,8 +121,8 @@ def _q_fwd_kernel(
         l_prev = l_scr[:, :1]
         m_curr = jnp.max(sij, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(sij - m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(sij - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -143,7 +147,7 @@ def _q_fwd_kernel(
             acc = acc * sv_row
         o_ref[0] = acc.astype(o_ref.dtype)
         m = m_scr[:, :1]
-        lse = jnp.where(l > 0.0, m + jnp.log(l), -jnp.inf)
+        lse = jnp.where(l > 0.0, m * LN2 + jnp.log(l), -jnp.inf)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -316,7 +320,7 @@ def quantized_flash_attention(
         q_raw = None
     else:
         qq = None
-        q_raw = _pad_seq(qf.astype(jnp.bfloat16), sched.n_q_pad)
+        q_raw = _pad_seq((qf * LOG2E).astype(jnp.bfloat16), sched.n_q_pad)
 
     o, lse = _quantized_fwd(
         qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype
