@@ -170,6 +170,62 @@ def suite_attention(quick: bool) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# N-d (image/video) attention — BASELINE config "dense_fa 2D/3D
+# (64x64x16 grid) FP8"; the reference's 1D/2D/3D surface (src/windowed.jl)
+# ---------------------------------------------------------------------------
+def suite_ndim(quick: bool) -> list[dict]:
+    import tpu_flash as tf
+
+    rng = np.random.default_rng(0)
+    rows = []
+    b, d = 1, 64
+    s2 = 64 if quick else 128
+
+    # per-case head counts keep full-size dense N-d calls under ~15 s
+    # (dense attention over a 64x64x16 grid is 1.1 PFLOP/head/batch)
+    cases = [
+        # (name, spatial, heads, fn(q,k,v), coverage)
+        ("dense2d", (s2, s2), 8,
+         lambda q, k, v: tf.dense_fa(q, k, v), 1.0),
+        ("dense2d_fp8", (s2, s2), 8,
+         lambda q, k, v: tf.dense_fa(q, k, v, q_dtype="float8_e4m3fn",
+                                     kv_dtype="float8_e4m3fn"), 1.0),
+        ("dense3d", (4, 32, 32) if quick else (16, 64, 64), 1,
+         lambda q, k, v: tf.dense_fa(q, k, v), 1.0),
+        ("block2d", (64, 64) if quick else (256, 256), 8,
+         lambda q, k, v: tf.block_fa(q, k, v, (16, 16)),
+         lambda n: 256 / n),
+        ("windowed2d_fp8", (64, 64), 8,
+         lambda q, k, v: tf.windowed_fa(
+             q, k, v, (16, 16), stride=8, q_dtype="float8_e4m3fn",
+             kv_dtype="float8_e4m3fn"),
+         None),  # overlap duplicates work; report seconds only
+    ]
+    for name, spatial, h, fn, cov in cases:
+        n = math.prod(spatial)
+        if callable(cov):
+            cov = cov(n)
+        q = _rand(rng, b, *spatial, h, d)
+        k = _rand(rng, b, *spatial, h, d)
+        v = _rand(rng, b, *spatial, h, d)
+        jfn = jax.jit(fn)
+        try:
+            sec = time_fn(jfn, q, k, v, iters=2 if not quick else 3)
+        except Exception as e:  # noqa: BLE001
+            log(f"  {name} {spatial} FAILED: {type(e).__name__}")
+            continue
+        row = {"name": name, "spatial": "x".join(map(str, spatial)),
+               "n": n, "d": d, "h": h, "seconds": round(sec, 6)}
+        if cov is not None:
+            flops = attention_flops(b, h, n, n, d, coverage=cov)
+            row["tflops"] = round(flops / sec / 1e12, 3)
+        rows.append(row)
+        log(f"  {name:16s} {row['spatial']:12s} {sec*1e3:9.2f} ms"
+            + (f"  {row['tflops']:8.2f} TFLOP/s" if cov is not None else ""))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # backward sweep (fwd+bwd via jax.grad — the reference never shipped a
 # working backward; ours must be both correct and fast)
 # ---------------------------------------------------------------------------
@@ -178,9 +234,11 @@ def suite_backward(quick: bool) -> list[dict]:
 
     rng = np.random.default_rng(0)
     rows = []
-    b, h, d = 1, 8, 64
+    b, h = 1, 8
     seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384)
+    dims = (64,) if quick else (64, 128)
     for n in seqlens:
+      for d in dims:
         q = _rand(rng, b, h, n, d)
         k = _rand(rng, b, h, n, d)
         v = _rand(rng, b, h, n, d)
@@ -199,7 +257,7 @@ def suite_backward(quick: bool) -> list[dict]:
             config={"n": n, "d": d, "b": b, "h": h},
         )
         rows.append(res.row("bf16"))
-        log(f"  fwd+bwd n={n:6d}  {res.seconds*1e3:8.2f} ms  "
+        log(f"  fwd+bwd n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms  "
             f"{res.tflops:7.2f} TFLOP/s")
     return rows
 
@@ -312,8 +370,8 @@ def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("suite", choices=["attention", "backward", "softmax",
-                                      "decode", "all"])
+    ap.add_argument("suite", choices=["attention", "ndim", "backward",
+                                      "softmax", "decode", "all"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cache-dtype", default="int8")
     args = ap.parse_args()
@@ -321,6 +379,8 @@ def main() -> None:
     log(f"device: {device_peaks()['kind']}")
     if args.suite in ("attention", "all"):
         emit(suite_attention(args.quick), "attention")
+    if args.suite in ("ndim", "all"):
+        emit(suite_ndim(args.quick), "ndim")
     if args.suite in ("backward", "all"):
         emit(suite_backward(args.quick), "backward")
     if args.suite in ("softmax", "all"):
