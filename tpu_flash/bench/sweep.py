@@ -296,7 +296,7 @@ def suite_softmax(quick: bool) -> list[dict]:
 # ---------------------------------------------------------------------------
 # decode (continuous batching; tokens/s; no reference analog — north star)
 # ---------------------------------------------------------------------------
-def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
+def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> list[dict]:
     from tpu_flash.cache.paged_cache import CacheConfig
     from tpu_flash.models import transformer as tfm
     from tpu_flash.serving.engine import Engine, EngineConfig, Request
@@ -317,6 +317,8 @@ def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
     log(f"  building model dim={mcfg.dim} layers={mcfg.num_layers} "
         f"cache={cache_dtype}")
     params = tfm.init_params(jax.random.PRNGKey(0), mcfg)
+    if weight_dtype == "int8":
+        params = tfm.quantize_weights(params)
     eng = Engine(params, mcfg, ccfg, EngineConfig(max_batch=16))
 
     rng = np.random.default_rng(0)
@@ -358,13 +360,13 @@ def suite_decode(cache_dtype: str, quick: bool) -> list[dict]:
     log(f"  device decode step: {sec*1e3:.2f} ms for batch 16 "
         f"→ {dev_tps:.0f} tok/s/chip")
     return [{
-        "name": f"decode_{cache_dtype}",
+        "name": f"decode_{cache_dtype}_w{weight_dtype}",
         "tokens_per_s_e2e": round(tps, 1),
         "tokens_per_s_device": round(dev_tps, 1),
         "decode_step_ms": round(sec * 1e3, 3),
         "batch": 16, "prompt_len": prompt_len, "gen": gen,
         "dim": mcfg.dim, "layers": mcfg.num_layers,
-        "cache_dtype": cache_dtype,
+        "cache_dtype": cache_dtype, "weight_dtype": weight_dtype,
     }]
 
 
@@ -374,6 +376,7 @@ def main() -> None:
                                       "softmax", "decode", "all"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cache-dtype", default="int8")
+    ap.add_argument("--weight-dtype", default="bf16", choices=["bf16", "int8"])
     args = ap.parse_args()
 
     log(f"device: {device_peaks()['kind']}")
@@ -386,7 +389,8 @@ def main() -> None:
     if args.suite in ("softmax", "all"):
         emit(suite_softmax(args.quick), "softmax")
     if args.suite in ("decode", "all"):
-        emit(suite_decode(args.cache_dtype, args.quick), "decode")
+        emit(suite_decode(args.cache_dtype, args.quick,
+                          weight_dtype=args.weight_dtype), "decode")
 
 
 if __name__ == "__main__":

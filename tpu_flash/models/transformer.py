@@ -88,6 +88,41 @@ def init_params(key, cfg: ModelConfig):
     )
 
 
+def quantize_weights(params, dtype: str = "int8"):
+    """Per-output-channel symmetric int8 quantization of every projection
+    matrix (wq/wk/wv/wo/w_gate/w_up/w_down). Embeddings and norms stay high
+    precision (the unembed needs full vocab rows; norms are tiny).
+
+    Decode is weight-streaming-bound (measured at the bf16 HBM floor), so
+    halving weight bytes buys decode latency directly; the matmul runs as
+    (x @ w_int8→bf16)·s — the per-column scale commutes out of the dot.
+    """
+    if dtype != "int8":
+        raise ValueError("only int8 weight quantization is supported")
+
+    def quant(w):
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(wf / s[None, :]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.float32)}
+
+    layers = []
+    for l in params["layers"]:
+        l2 = dict(l)
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            l2[name] = quant(l[name])
+        layers.append(l2)
+    return {**params, "layers": layers}
+
+
+def _mm(x, w):
+    """x @ w for raw or weight-quantized ({"q": int8, "s": f32}) matrices."""
+    if isinstance(w, dict):
+        y = x @ w["q"].astype(x.dtype)
+        return y * w["s"].astype(x.dtype)
+    return x @ w
+
+
 def rmsnorm(x, w, eps=1e-6):
     x32 = x.astype(jnp.float32)
     scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
@@ -152,7 +187,7 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
     # row-parallel matmuls are completed by one psum each (Megatron TP).
     b, n, _ = x.shape
     h = rmsnorm(x, params["ln_attn"])
-    qp, kp, vp = h @ params["wq"], h @ params["wk"], h @ params["wv"]
+    qp, kp, vp = _mm(h, params["wq"]), _mm(h, params["wk"]), _mm(h, params["wv"])
     qh = qp.shape[-1] // cfg.head_dim
     kvh = kp.shape[-1] // cfg.head_dim
     q = qp.reshape(b, n, qh, cfg.head_dim)
@@ -163,10 +198,10 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
     if collect_kv is not None:
         collect_kv.append((k, v))
     o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, qh * cfg.head_dim)
-    x = x + _psum(o @ params["wo"], tp_axis)
+    x = x + _psum(_mm(o, params["wo"]), tp_axis)
     h = rmsnorm(x, params["ln_mlp"])
-    gate = jax.nn.silu((h @ params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + _psum((gate * (h @ params["w_up"])) @ params["w_down"], tp_axis)
+    gate = jax.nn.silu(_mm(h, params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + _psum(_mm(gate * _mm(h, params["w_up"]), params["w_down"]), tp_axis)
     return x
 
 
@@ -227,7 +262,7 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln_attn"])
-        qp, kp, vp = h @ layer["wq"], h @ layer["wk"], h @ layer["wv"]
+        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
         qh = qp.shape[-1] // cfg.head_dim
         kvh = kp.shape[-1] // cfg.head_dim
         q = qp.reshape(b, 1, qh, cfg.head_dim)
@@ -242,10 +277,10 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
             new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
             pages_bound=pages_bound,
         )
-        x = x + _psum(o.reshape(b, 1, qh * cfg.head_dim) @ layer["wo"], tp_axis)
+        x = x + _psum(_mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"]), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
-        gate = jax.nn.silu((hm @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + _psum((gate * (hm @ layer["w_up"])) @ layer["w_down"], tp_axis)
+        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + _psum(_mm(gate * _mm(hm, layer["w_up"]), layer["w_down"]), tp_axis)
         new_caches.append(cache)
     x = rmsnorm(x, params["ln_f"])
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)

@@ -22,14 +22,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def param_pspecs(params, axis: str = "model"):
-    """PartitionSpec pytree for a transformer param tree."""
+    """PartitionSpec pytree for a transformer param tree.
+
+    Handles both raw matrices and int8 weight-quantized entries
+    ({"q": int8 (in, out), "s": f32 (out,)}): column-parallel weights shard
+    their per-output-channel scales with the columns; row-parallel scales
+    replicate (they index the unsharded output dim).
+    """
     col = P(None, axis)   # (dim, sharded_out)
     row = P(axis, None)   # (sharded_in, dim)
 
-    def layer(_):
+    def wspec(w, spec, s_spec):
+        if isinstance(w, dict):
+            return {"q": spec, "s": s_spec}
+        return spec
+
+    def layer(l):
         return dict(
-            wq=col, wk=col, wv=col, wo=row,
-            w_gate=col, w_up=col, w_down=row,
+            wq=wspec(l["wq"], col, P(axis)),
+            wk=wspec(l["wk"], col, P(axis)),
+            wv=wspec(l["wv"], col, P(axis)),
+            wo=wspec(l["wo"], row, P()),
+            w_gate=wspec(l["w_gate"], col, P(axis)),
+            w_up=wspec(l["w_up"], col, P(axis)),
+            w_down=wspec(l["w_down"], row, P()),
             ln_attn=P(), ln_mlp=P(),
         )
 
