@@ -316,6 +316,8 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> l
     )
     log(f"  building model dim={mcfg.dim} layers={mcfg.num_layers} "
         f"cache={cache_dtype}")
+    if weight_dtype not in ("bf16", "int8"):
+        raise ValueError(f"unsupported weight_dtype {weight_dtype!r}")
     params = tfm.init_params(jax.random.PRNGKey(0), mcfg)
     if weight_dtype == "int8":
         params = tfm.quantize_weights(params)

@@ -5,4 +5,5 @@ from tpu_flash.models.transformer import (
     prefill,
     decode_step,
     loss_fn,
+    quantize_weights,
 )

@@ -100,11 +100,11 @@ def quantize_weights(params, dtype: str = "int8"):
     if dtype != "int8":
         raise ValueError("only int8 weight quantization is supported")
 
+    from tpu_flash.quant.qarray import quantize as _quantize
+
     def quant(w):
-        wf = w.astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-12) / 127.0
-        q = jnp.clip(jnp.round(wf / s[None, :]), -127, 127).astype(jnp.int8)
-        return {"q": q, "s": s.astype(jnp.float32)}
+        qa = _quantize(w, jnp.int8, axis=0)  # per-output-channel
+        return {"q": qa.values, "s": qa.scales[0].astype(jnp.float32)}
 
     layers = []
     for l in params["layers"]:
