@@ -132,11 +132,17 @@ def _fwd_kernel(
     @pl.when(s == num_steps - 1)
     def _finish():
         l = l_scr[:, :1]
-        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         m = m_scr[:, :1]
+        # A fully-masked row's running max equals the mask value itself
+        # (every score was DEFAULT_MASK_VALUE, so p = exp2(0) = 1 and l > 0
+        # with a garbage accumulator): such rows are defined as o = 0,
+        # lse = -inf, matching the oracle (ops/oracle.py).
+        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         # emit lse in NATURAL log units (the cross-device/backward contract)
-        lse = jnp.where(l > 0.0, m * LN2 + jnp.log(l), -jnp.inf)
+        lse = jnp.where(valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                        -jnp.inf)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
@@ -486,6 +492,12 @@ def windowed_fa(q, k, v, window_size, *, stride=None, pad=0, scale=None, **kw):
     fused kernel. Disjoint windows should use :func:`block_fa` (pure
     block-skip, no copies).
     """
+    if kw.get("return_lse"):
+        raise NotImplementedError(
+            "windowed_fa cannot return lse: per-window statistics are not "
+            "meaningful after overlap averaging (reference src/windowed.jl "
+            "only reshapes them for the non-overlapping flash variant)"
+        )
     nd = q.ndim - 3
     if nd not in (1, 2, 3):
         raise ValueError(f"expected (batch, *spatial(1..3), heads, d), got {q.shape}")

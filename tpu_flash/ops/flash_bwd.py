@@ -31,10 +31,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_flash.ops.flash import LN2, LOG2E
+from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E
 from tpu_flash.ops.schedule import Schedule
 
-DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
 
 _NT = (((1,), (1,)), ((), ()))  # (m,d)x(n,d) -> (m,n)

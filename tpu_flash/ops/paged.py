@@ -226,25 +226,11 @@ def _append_kernel(
     off = off_ref[b]
     row_hit = lax.broadcasted_iota(jnp.int32, (1, page, 1), 1) == off
 
-    def encode(x):
-        """(kh, d) f32 → (values (kh, stor), scales (kh, 1) | None)."""
-        if not quantized:
-            return x.astype(kp_out.dtype), None
-        qmax = 7.0 if int4 else 127.0
-        qmin = -8.0 if int4 else -127.0  # match PagedKVCache._encode exactly
-        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        sc = jnp.maximum(amax, 1e-12) / qmax
-        q = jnp.clip(jnp.round(x / sc), qmin, qmax).astype(jnp.int32)
-        if int4:
-            d = q.shape[-1]
-            lo = q[:, : d // 2] & 0x0F
-            hi = (q[:, d // 2 :] & 0x0F) << 4
-            q = lo | hi
-        return q.astype(jnp.int8), sc
-
     def rmw(pages_in, pages_out, scales_in, scales_out, xn_ref):
         x = xn_ref[0].astype(jnp.float32)  # (kh, d)
-        vals, sc = encode(x)
+        vals, sc = _encode_row(
+            x, quantized=quantized, int4=int4, out_dtype=pages_out.dtype
+        )
         old = pages_in[...]  # (kh, 1, page, stor)
         # row `off` of the page gets vals[h]; everything else kept. The
         # merge runs in 32-bit: Mosaic cannot relayout sub-32-bit vectors
@@ -461,7 +447,10 @@ def paged_attention(
         inputs += [kn, vn]
 
         def target_map(bi, i, lens, pt, tpage, off):
-            return (0, pt[bi, tpage[bi]], 0, 0)
+            # clamp defensively: an out-of-range tpage (corrupted lengths)
+            # must never alias another lane's page-table row
+            tp = jnp.minimum(tpage[bi], pt.shape[1] - 1)
+            return (0, pt[bi, tp], 0, 0)
 
         t_page_spec = pl.BlockSpec((kvh, 1, page, stor), target_map)
         t_sc_spec = pl.BlockSpec((kvh, 1, 1, page), target_map)

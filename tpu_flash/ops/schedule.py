@@ -136,7 +136,12 @@ class CausalSchedule(Schedule):
         return (last_q + self._offset) // self.block_kv
 
     def kv_block_index(self, i, s):
-        return jnp.minimum(s, self._last_step(i))
+        # _last_step is negative when n_q > n_kv and an early Q block sees
+        # no keys at all; the index map is evaluated even for skipped steps
+        # (the DMA is issued before the kernel body), so clamp into range.
+        return jnp.clip(
+            jnp.minimum(s, self._last_step(i)), 0, self.num_kv_blocks - 1
+        )
 
     def step_needed(self, i, s):
         return s <= self._last_step(i)

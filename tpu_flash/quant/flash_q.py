@@ -140,14 +140,17 @@ def _q_fwd_kernel(
     @pl.when(s == num_steps - 1)
     def _finish():
         l = l_scr[:, :1]
-        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        m = m_scr[:, :1]
+        # fully-masked rows (see ops/flash.py): o = 0, lse = -inf
+        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
         acc = acc_scr[...] * l_inv
         if v_quant:
             sv_row = sv_ref[0, 0].reshape(1, -1)  # per-channel (1, dv)
             acc = acc * sv_row
         o_ref[0] = acc.astype(o_ref.dtype)
-        m = m_scr[:, :1]
-        lse = jnp.where(l > 0.0, m * LN2 + jnp.log(l), -jnp.inf)
+        lse = jnp.where(valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                        -jnp.inf)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 

@@ -74,6 +74,7 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         "alloc_tables": alloc_tables,
         "rng_state": engine._rng.bit_generator.state,
         "sample_key": np.asarray(engine._key).tolist(),
+        "tensor_parallel": engine.mesh is not None,
     }
     def _np_default(o):
         if isinstance(o, np.integer):
@@ -86,11 +87,22 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         json.dump(host, f, default=_np_default)
 
 
-def load_checkpoint(path: str) -> Engine:
-    """Rebuild an engine from :func:`save_checkpoint` output and resume."""
+def load_checkpoint(path: str, mesh=None, tp_axis: str = "model") -> Engine:
+    """Rebuild an engine from :func:`save_checkpoint` output and resume.
+
+    A snapshot taken from a tensor-parallel engine must be restored with a
+    ``mesh`` (the params/caches may not fit, and the topology silently
+    changing is never what the operator wants).
+    """
     path = os.path.abspath(path)
     with open(os.path.join(path, _HOST_STATE)) as f:
         host = json.load(f)
+
+    if host.get("tensor_parallel") and mesh is None:
+        raise ValueError(
+            "checkpoint was saved from a tensor-parallel engine; pass the "
+            "mesh to restore with (load_checkpoint(path, mesh=...))"
+        )
 
     mcfg = tfm.ModelConfig(**host["model_cfg"])
     ccfg = CacheConfig(**host["cache_cfg"])
@@ -101,7 +113,8 @@ def load_checkpoint(path: str) -> Engine:
     ckpt = ocp.PyTreeCheckpointer()
     arrays = ckpt.restore(os.path.join(path, _ARRAYS))
 
-    engine = Engine(arrays["params"], mcfg, ccfg, ecfg)
+    engine = Engine(arrays["params"], mcfg, ccfg, ecfg, mesh=mesh,
+                    tp_axis=tp_axis)
     # Overwrite freshly-created caches with the snapshot (page tables,
     # lengths, scales and data all live in the pytree).
     import jax.numpy as jnp

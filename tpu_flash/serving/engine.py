@@ -139,6 +139,7 @@ class Engine:
         self._key = jax.random.PRNGKey(engine_cfg.seed)
         self._decode_fns = {}
         self._prefill_fns = {}
+        self._write_fns = {}
 
     # ---- jitted model entry points ------------------------------------
 
@@ -152,12 +153,21 @@ class Engine:
         at most log2(max_pages) variants ever compile."""
         if pages_bound not in self._decode_fns:
             mcfg, axis = self.mcfg, self.tp_axis
+            trash = self._trash_slot
 
             def run(params, caches, tokens, positions, slots, temps, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, mcfg,
                     pages_bound=pages_bound, tp_axis=axis,
                 )
+                # idle lanes append to the trash slot every step; reset its
+                # length so it never walks off its (all-trash-page) table
+                caches = [
+                    dataclasses.replace(
+                        c, lengths=c.lengths.at[trash].set(0)
+                    )
+                    for c in caches
+                ]
                 return _device_sample(logits, temps, key), caches
 
             if self.mesh is not None:
@@ -226,6 +236,12 @@ class Engine:
     # ---- public API -----------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        cap = self.ccfg.max_pages_per_seq * self.ccfg.page_size
+        if len(req.prompt) + 1 > cap:
+            raise ValueError(
+                f"prompt of {len(req.prompt)} tokens exceeds per-sequence "
+                f"cache capacity {cap}"
+            )
         self.waiting.append(req)
 
     def step(self) -> None:
@@ -248,7 +264,16 @@ class Engine:
         for b in self.ecfg.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds largest bucket")
+        # beyond the configured buckets (long prompts, or preempted
+        # sequences re-queued with their generated context): grow by
+        # doubling, capped at the per-sequence cache capacity so the page
+        # admission below can always succeed. Raising here would wedge the
+        # admit loop forever (the request is still at the queue head).
+        cap = self.ccfg.max_pages_per_seq * self.ccfg.page_size
+        b = max(self.ecfg.prefill_buckets)
+        while b < n:
+            b *= 2
+        return min(b, cap)
 
     def _sync_slot_tables(self, slot: int) -> None:
         # Allocator ids are shifted +1 (physical page 0 is the trash page);
@@ -281,6 +306,30 @@ class Engine:
             self._sync_slot_tables(slot)
             self._prefill(req, slot, bucket, pages_needed)
 
+    def _write_fn(self, bucket: int):
+        """Jitted, cache-donating writer for a whole prompt across all
+        layers. Eager per-layer writes copied the entire page pool per
+        layer per admission (XLA cannot update in place outside jit while
+        the old cache is still referenced) — ~2·num_layers full-pool copies
+        for every request."""
+        if bucket not in self._write_fns:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(caches, kv, slot, n):
+                out = []
+                for c, (k, v) in zip(caches, kv):
+                    c = c.write_prompt(
+                        slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1)
+                    )
+                    # write_prompt set length to the padded bucket; fix to n.
+                    out.append(dataclasses.replace(
+                        c, lengths=c.lengths.at[slot].set(n)
+                    ))
+                return out
+
+            self._write_fns[bucket] = run
+        return self._write_fns[bucket]
+
     def _prefill(self, req: Request, slot: int, bucket: int, pages: int) -> None:
         n = len(req.prompt)
         toks = np.zeros((1, bucket), np.int32)
@@ -290,16 +339,11 @@ class Engine:
             self.params, jnp.asarray(toks), jnp.int32(n),
             jnp.float32(req.temperature), sub,
         )
-        # write each layer's K/V into the cache (padded tail is page-covered
-        # and masked by length).
-        for li, (k, v) in enumerate(kv):
-            self.caches[li] = self.caches[li].write_prompt(
-                slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1)
-            )
-            # write_prompt set length to the padded bucket; fix to true n.
-            self.caches[li] = dataclasses.replace(
-                self.caches[li], lengths=self.caches[li].lengths.at[slot].set(n)
-            )
+        # one donated jit writes every layer's K/V (padded tail is
+        # page-covered and masked by length).
+        self.caches = self._write_fn(bucket)(
+            self.caches, kv, jnp.int32(slot), jnp.int32(n)
+        )
         tok = int(tok_dev)
         self.running[slot] = _Running(
             rid=req.rid,
