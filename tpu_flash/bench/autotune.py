@@ -1,0 +1,106 @@
+"""Block-size autotuner — measured, cached, per device kind.
+
+The reference hard-coded its cache-size constant and its own sweep shows
+4-30× swings from mis-sizing (BASELINE.md cache sweep, SURVEY.md §5). Here
+block sizes are explicit knobs with measured defaults; this module picks
+them empirically for a given shape and persists the result, so deployments
+can tune once per (device, shape) and ship the table.
+
+Usage::
+
+    from tpu_flash.bench.autotune import tune_attention_blocks
+    bq, bkv = tune_attention_blocks(n=8192, d=128)          # measures once
+    o = tf.dense_fa(q, k, v, block_q=bq, block_kv=bkv)      # cached after
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.bench.harness import device_peaks, time_fn
+
+_DEFAULT_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tpu_flash_autotune.json",
+)
+
+_CANDIDATES = [(bq, bkv)
+               for bq in (256, 512, 1024)
+               for bkv in (512, 1024, 2048, 4096)]
+
+
+def _load(path: str) -> dict:
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return {}
+    return {}
+
+
+def tune_attention_blocks(
+    n: int,
+    d: int,
+    *,
+    dtype: str = "bfloat16",
+    schedule: str = "dense",
+    radius: int = 0,
+    section: int = 0,
+    batch_heads: int = 8,
+    candidates=None,
+    cache_path: Optional[str] = _DEFAULT_CACHE,
+    iters: int = 5,
+) -> tuple[int, int]:
+    """Measure candidate (block_q, block_kv) pairs for an attention shape
+    and return the fastest; results persist in a JSON table keyed by
+    device kind + shape."""
+    from tpu_flash.ops.flash import flash_attention
+
+    kind = device_peaks()["kind"]
+    key = f"{kind}|{schedule}|n={n}|d={d}|{dtype}|r={radius}|sec={section}"
+    table = _load(cache_path) if cache_path else {}
+    if key in table:
+        bq, bkv = table[key]["block_q"], table[key]["block_kv"]
+        return bq, bkv
+
+    rng = np.random.default_rng(0)
+    shape = (1, batch_heads, n, d)
+    q = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
+    k = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
+    v = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
+
+    best, best_t = None, float("inf")
+    results = {}
+    for bq, bkv in (candidates or _CANDIDATES):
+        if bq > n or bkv > max(n, 1) * 2:
+            continue
+        try:
+            fn = jax.jit(functools.partial(
+                flash_attention, schedule=schedule, radius=radius,
+                section=section, block_q=bq, block_kv=bkv,
+            ))
+            t = time_fn(fn, q, k, v, iters=iters)
+        except Exception:  # noqa: BLE001 — invalid configs just lose
+            continue
+        results[f"{bq}x{bkv}"] = round(t * 1e6, 1)
+        if t < best_t:
+            best, best_t = (bq, bkv), t
+    if best is None:
+        raise RuntimeError(f"no candidate block size compiled for {key}")
+
+    if cache_path:
+        table[key] = {
+            "block_q": best[0], "block_kv": best[1],
+            "seconds": best_t, "all_us": results,
+        }
+        with open(cache_path, "w") as f:
+            json.dump(table, f, indent=1, sort_keys=True)
+    return best

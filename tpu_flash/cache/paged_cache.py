@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tpu_flash.quant.qarray import pack_int4_halves
+from tpu_flash.quant.qarray import quantize, quantize_int4_halves
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,22 +95,18 @@ class PagedKVCache:
     # -- encoding -----------------------------------------------------------
 
     def _encode(self, x: jnp.ndarray):
-        """(…, head_dim) f32/bf16 → (values (…, stor_dim), scales (…,) | None)."""
+        """(…, head_dim) f32/bf16 → (values (…, stor_dim), scales (…,) | None).
+
+        Shares the quantizers in quant/qarray.py; the Pallas append kernel's
+        in-register copy (ops/paged.py:_encode_row) must stay bit-identical.
+        """
         cfg = self.config
         if cfg.dtype == "int8":
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-            scales = jnp.maximum(amax, 1e-12) / 127.0
-            vals = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
-            ).astype(jnp.int8)
-            return vals, scales
+            qa = quantize(x, jnp.int8, axis=-1)
+            return qa.values, qa.scales[..., 0]
         if cfg.dtype == "int4":
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-            scales = jnp.maximum(amax, 1e-12) / 7.0
-            vals = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / scales[..., None]), -8, 7
-            ).astype(jnp.int8)
-            return pack_int4_halves(vals), scales
+            qa = quantize_int4_halves(x, axis=-1)
+            return qa.values, qa.scales[..., 0]
         return x.astype(self.k_pages.dtype), None
 
     # -- writes -------------------------------------------------------------

@@ -246,7 +246,7 @@ def flash_attention(
     shift: int = 0,
     wrap_n: int = 0,
     shifted_causal: bool = False,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 2048,
     return_lse: bool = False,
     interpret: Optional[bool] = None,

@@ -127,3 +127,13 @@ def quantize_int4(x: jnp.ndarray, axis: int = -1) -> QArray:
 
 def dequantize_int4(qa: QArray) -> jnp.ndarray:
     return unpack_int4(qa.values).astype(jnp.float32) * qa.scales
+
+
+def quantize_int4_halves(x: jnp.ndarray, axis: int = -1) -> QArray:
+    """INT4 symmetric quantization with halves packing (the layout the
+    paged-cache kernels unpack with two shifts + a lane concat)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+    scales = jnp.maximum(amax, _EPS) / 7.0
+    vals = jnp.clip(jnp.round(x32 / scales), -8, 7).astype(jnp.int8)
+    return QArray(values=pack_int4_halves(vals), scales=scales, axis=axis)
