@@ -119,3 +119,49 @@ def test_pages_released_after_completion(params):
     eng.submit(Request(rid=0, prompt=[1, 2, 3], max_new_tokens=3))
     eng.run()
     assert eng._alloc.num_free() == free0
+
+
+def test_sliding_window_decode_matches_full_forward():
+    """attention="sliding" must use the same banded pattern in decode as in
+    prefill/forward — previously decode silently attended full history.
+    Compares LOGITS (token comparison is tie-fragile at this model size)."""
+    import dataclasses
+
+    from tpu_flash.cache.paged_cache import PagedKVCache
+    from tpu_flash.serving.engine import _prefill_all_logits
+
+    mcfg = tfm.ModelConfig(
+        vocab_size=256, dim=128, num_layers=2, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, block_q=128, block_kv=128,
+        attention="sliding", window=9,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(3), mcfg)
+    cc = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                     total_pages=128, max_seqs=8, max_pages_per_seq=16,
+                     dtype="float32")
+    rng = np.random.default_rng(7)
+    toks = list(rng.integers(1, 255, 12))
+
+    caches = [PagedKVCache.create(cc) for _ in range(mcfg.num_layers)]
+    pt = jnp.zeros((cc.max_seqs, cc.max_pages_per_seq), jnp.int32)
+    pt = pt.at[0, :4].set(jnp.asarray([1, 2, 3, 4], jnp.int32))
+    caches = [c.assign_pages(pt) for c in caches]
+    pre_logits, kv = _prefill_all_logits(
+        params, jnp.asarray([toks], jnp.int32), mcfg)
+    for li, (k, v) in enumerate(kv):
+        caches[li] = caches[li].write_prompt(
+            0, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1))
+    toks.append(int(jnp.argmax(pre_logits[0, -1])))  # first generated token
+
+    slot = jnp.asarray([0], jnp.int32)
+    for _ in range(8):
+        pos = len(toks) - 1  # the new token's position (== cache length)
+        logits, caches = tfm.decode_step(
+            params, jnp.asarray([toks[-1]], jnp.int32),
+            jnp.asarray([pos], jnp.int32), caches, slot, mcfg)
+        ref = tfm.forward(params, jnp.asarray([toks], jnp.int32), mcfg)[0, -1]
+        err = float(jnp.max(jnp.abs(logits[0] - ref)))
+        # bf16 q cast in the paged kernel; semantic divergence (attending
+        # the full history instead of the window) shows up as O(1) errors
+        assert err < 0.15, f"decode logits diverge from sliding forward: {err}"
+        toks.append(int(jnp.argmax(ref)))

@@ -2,6 +2,7 @@
 (test/test.jl:20 `dense_fa ≈ dense_dpa`), extended to every schedule,
 ragged shapes, and the lse statistic."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -144,3 +145,30 @@ def test_bf16_accuracy(rng):
     np.testing.assert_allclose(
         o.astype(jnp.float32), o_ref.astype(jnp.float32), atol=2e-2, rtol=2e-2
     )
+
+
+def test_gqa_matches_repeated_kv(rng):
+    """Native GQA (kv-head index maps, no copies) must equal explicitly
+    repeated K/V, forward and backward."""
+    b, hq, hkv, n, d = 2, 6, 2, 200, 32
+    q = jnp.asarray(rng.standard_normal((b, hq, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    kr = jnp.repeat(k, hq // hkv, axis=1)
+    vr = jnp.repeat(v, hq // hkv, axis=1)
+
+    o = flash.dense_fa(q, k, v, causal=True, **_BLK)
+    o_ref = flash.dense_fa(q, kr, vr, causal=True, **_BLK)
+    assert jnp.allclose(o, o_ref, atol=1e-6)
+
+    def loss(q, k, v):
+        return jnp.sum(flash.dense_fa(q, k, v, causal=True, **_BLK) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gq_r, gk_r, gv_r = jax.grad(
+        lambda q, k, v: loss(q, jnp.repeat(k, 3, axis=1),
+                             jnp.repeat(v, 3, axis=1)), argnums=(0, 1, 2)
+    )(q, k, v)
+    assert jnp.allclose(gq, gq_r, atol=1e-4)
+    assert jnp.allclose(gk, gk_r, atol=1e-4)
+    assert jnp.allclose(gv, gv_r, atol=1e-4)

@@ -65,7 +65,8 @@ def tune_attention_blocks(
     from tpu_flash.ops.flash import flash_attention
 
     kind = device_peaks()["kind"]
-    key = f"{kind}|{schedule}|n={n}|d={d}|{dtype}|r={radius}|sec={section}"
+    key = (f"{kind}|{schedule}|n={n}|d={d}|{dtype}|r={radius}"
+           f"|sec={section}|bh={batch_heads}")
     table = _load(cache_path) if cache_path else {}
     if key in table:
         bq, bkv = table[key]["block_q"], table[key]["block_kv"]
@@ -77,11 +78,15 @@ def tune_attention_blocks(
     k = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
     v = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
 
+    from tpu_flash.ops.flash import _pick_block
+
     best, best_t = None, float("inf")
     results = {}
-    for bq, bkv in (candidates or _CANDIDATES):
-        if bq > n or bkv > max(n, 1) * 2:
-            continue
+    # clamp candidates the way the kernel itself would (small n collapses
+    # many candidates to the same effective blocks — dedupe)
+    cands = {( _pick_block(n, bq), _pick_block(n, bkv))
+             for bq, bkv in (candidates or _CANDIDATES)}
+    for bq, bkv in sorted(cands):
         try:
             fn = jax.jit(functools.partial(
                 flash_attention, schedule=schedule, radius=radius,

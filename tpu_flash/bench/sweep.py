@@ -30,7 +30,10 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO_ROOT, ".jax_cache"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -44,8 +47,7 @@ from tpu_flash.bench.harness import (
     time_fn,
 )
 
-LOG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "logs")
+LOG_DIR = os.path.join(_REPO_ROOT, "logs")
 
 
 def log(msg: str) -> None:

@@ -155,14 +155,15 @@ def _attn_full(q, k, v, cfg: ModelConfig, attn_fn=None):
     implementation on (B, H, N, D) tensors — e.g. a shard_map-wrapped
     ring attention for sequence-parallel training (see __graft_entry__).
     """
-    g = q.shape[2] // k.shape[2]
-    # GQA: expand kv heads to q heads for the dense kernel.
-    k = jnp.repeat(k, g, axis=2)
-    v = jnp.repeat(v, g, axis=2)
     qt = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
     if attn_fn is not None:
+        # custom fns (e.g. shard_map ring attention) expect matched heads
+        g = qt.shape[1] // kt.shape[1]
+        if g > 1:
+            kt = jnp.repeat(kt, g, axis=1)
+            vt = jnp.repeat(vt, g, axis=1)
         o = attn_fn(qt, kt, vt)
     elif cfg.attention == "sliding":
         o = flash.sliding_fa(
@@ -259,6 +260,9 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
     b = tokens.shape[0]
     x = params["embed"][tokens][:, None, :]  # (B, 1, dim)
     pos = positions[:, None]
+    # sliding-window models attend only the trailing window during decode,
+    # matching the prefill/forward semantics (cfg.attention == "sliding")
+    radius = (cfg.window - 1) // 2 if cfg.attention == "sliding" else None
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln_attn"])
@@ -275,7 +279,7 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
         o, cache = paged_attention(
             q[:, 0].astype(x.dtype), cache, slots,
             new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
-            pages_bound=pages_bound,
+            pages_bound=pages_bound, radius=radius,
         )
         x = x + _psum(_mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"]), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])

@@ -147,19 +147,30 @@ def _fwd_kernel(
 
 
 def _flash_fwd(
-    q: jnp.ndarray,  # (BH, nq_pad, d), pre-scaled
-    k: jnp.ndarray,  # (BH, nkv_pad, d)
-    v: jnp.ndarray,  # (BH, nkv_pad, dv)
+    q: jnp.ndarray,  # (B·HQ, nq_pad, d), pre-scaled
+    k: jnp.ndarray,  # (B·HKV, nkv_pad, d)
+    v: jnp.ndarray,  # (B·HKV, nkv_pad, dv)
     sched: Schedule,
     *,
     interpret: bool,
     out_dtype,
+    hq: int = 1,
+    hkv: int = 1,
 ):
     bh, nq_pad, d = q.shape
     dv = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
     grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
     num_steps = sched.max_kv_steps
+    g = hq // hkv
+
+    def kv_row(b):
+        # GQA: q row b (over B·HQ) reads kv row of its group (over B·HKV) —
+        # an index map instead of the jnp.repeat that would g× the K/V HBM
+        # traffic and footprint.
+        if g == 1:
+            return b
+        return (b // hq) * hkv + (b % hq) // g
 
     kernel = functools.partial(_fwd_kernel, sched=sched, num_steps=num_steps)
 
@@ -170,10 +181,12 @@ def _flash_fwd(
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
             pl.BlockSpec(
-                (1, bkv, d), lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+                (1, bkv, d),
+                lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0),
             ),
             pl.BlockSpec(
-                (1, bkv, dv), lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
+                (1, bkv, dv),
+                lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0),
             ),
         ],
         out_specs=[
@@ -200,31 +213,103 @@ def _flash_fwd(
     return o, lse[..., 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fa(q, k, v, sched, interpret, out_dtype):
-    """Differentiable core on padded (BH, n_pad, d) arrays → (o, lse).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1):
+    """Differentiable core on padded (B·H, n_pad, d) arrays → (o, lse).
 
     The surrounding scaling / padding / halo-concat ops stay outside this
     boundary, so their transposes (e.g. the circulant halo fold-back) are
     handled by XLA autodiff; only the attention itself has a custom VJP.
+    GQA (hkv < hq) runs the forward with kv-row index maps (no repeated
+    K/V); the backward expands K/V and group-sums dK/dV — a trade the
+    training path accepts for a copy-free forward.
     """
-    return _flash_fwd(q, k, v, sched, interpret=interpret, out_dtype=out_dtype)
+    return _flash_fwd(q, k, v, sched, interpret=interpret,
+                      out_dtype=out_dtype, hq=hq, hkv=hkv)
 
 
-def _fa_fwd(q, k, v, sched, interpret, out_dtype):
-    o, lse = _flash_fwd(q, k, v, sched, interpret=interpret, out_dtype=out_dtype)
+def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv):
+    o, lse = _flash_fwd(q, k, v, sched, interpret=interpret,
+                        out_dtype=out_dtype, hq=hq, hkv=hkv)
     return (o, lse), (q, k, v, o, lse)
 
 
-def _fa_bwd(sched, interpret, out_dtype, res, cts):
+def _fa_bwd(sched, interpret, out_dtype, hq, hkv, res, cts):
     from tpu_flash.ops.flash_bwd import flash_backward
 
     q, k, v, o, lse = res
     do, dlse = cts
-    return flash_backward(q, k, v, o, lse, do, dlse, sched, interpret=interpret)
+    g = hq // hkv
+    if g > 1:
+        bkv_rows, n_pad, d = k.shape
+        b = bkv_rows // hkv
+        expand = lambda x: jnp.repeat(
+            x.reshape(b, hkv, n_pad, -1), g, axis=1
+        ).reshape(b * hq, n_pad, -1)
+        k, v = expand(k), expand(v)
+    dq, dk, dv = flash_backward(q, k, v, o, lse, do, dlse, sched,
+                                interpret=interpret)
+    if g > 1:
+        reduce = lambda x: x.reshape(b, hkv, g, n_pad, -1).sum(axis=2).reshape(
+            b * hkv, n_pad, -1)
+        dk, dv = reduce(dk), reduce(dv)
+    return dq, dk, dv
 
 
 _fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+def build_schedule(
+    schedule: str,
+    n_q: int,
+    n_kv: int,
+    block_q: int,
+    block_kv: int,
+    *,
+    radius: int = 0,
+    section: int = 0,
+    shift: int = 0,
+    wrap_n: int = 0,
+    shifted_causal: bool = False,
+) -> Schedule:
+    """Pick tile-aligned blocks and construct the Schedule — shared by the
+    bf16/f32 path and the quantized path (quant/flash_q.py) so block
+    selection and schedule dispatch can't drift apart.
+
+    ``n_kv`` is the REAL key length; the circulant schedule's blocks are
+    picked against its halo-extended physical length (kv_len property).
+    """
+    bq = _pick_block(n_q, block_q)
+    pick_len = n_kv + 2 * radius if schedule == "circulant" else n_kv
+    bkv = _pick_block(pick_len, block_kv)
+    if schedule == "block":
+        if section <= 0:
+            raise ValueError("block schedule requires section > 0")
+        bq = min(bq, section)
+        bkv = min(bkv, section)
+        while section % bq:
+            bq -= 1
+        while section % bkv:
+            bkv -= 1
+    common = dict(n_q=n_q, n_kv=n_kv, block_q=bq, block_kv=bkv)
+    if schedule == "dense":
+        return Schedule(**common)
+    if schedule == "causal":
+        return CausalSchedule(**common)
+    if schedule == "local":
+        return LocalSchedule(**common, radius=radius)
+    if schedule == "local_causal":
+        return LocalSchedule(**common, radius=radius, causal=True)
+    if schedule == "block":
+        return BlockDiagonalSchedule(**common, section=section)
+    if schedule == "circulant":
+        return CirculantSchedule(**common, radius=radius)
+    if schedule == "shifted":
+        return ShiftedMaskSchedule(
+            **common, shift=shift, radius=radius, wrap_n=wrap_n,
+            causal=shifted_causal,
+        )
+    raise ValueError(f"unknown schedule {schedule!r}")
 
 
 def _pad_seq(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
@@ -265,6 +350,15 @@ def flash_attention(
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
+    hq, hkv = q.shape[1], k.shape[1]
+    if hq % hkv:
+        raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    if (q_dtype is not None or kv_dtype is not None) and hkv != hq:
+        # quantized path has no GQA index maps yet; expand K/V
+        g = hq // hkv
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
+        hkv = hq
     if q_dtype is not None or kv_dtype is not None:
         # Quantized route: every schedule and N-d wrapper gains FP8/INT8
         # through this one dispatch (kv_dtype alone = weight-only mode).
@@ -290,8 +384,8 @@ def flash_attention(
 
     qf = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     qf = qf.reshape(b * h, n_q, d)
-    kf = k.reshape(b * h, n_kv, d)
-    vf = v.reshape(b * h, n_kv, dv)
+    kf = k.reshape(b * hkv, n_kv, d)
+    vf = v.reshape(b * hkv, n_kv, dv)
 
     if schedule == "circulant":
         if radius > 0:
@@ -300,46 +394,17 @@ def flash_attention(
             kf = jnp.concatenate([halo_lo, kf, halo_hi], axis=1)
             vf = jnp.concatenate([vf[:, -radius:], vf, vf[:, :radius]], axis=1)
 
-    bq = _pick_block(n_q, block_q)
-    kv_len = kf.shape[1]
-    bkv = _pick_block(kv_len, block_kv)
-
-    if schedule == "block":
-        if section <= 0:
-            raise ValueError("block schedule requires section > 0")
-        bq = min(bq, section)
-        bkv = min(bkv, section)
-        while section % bq:
-            bq -= 1
-        while section % bkv:
-            bkv -= 1
-
-    common = dict(n_q=n_q, n_kv=n_kv, block_q=bq, block_kv=bkv)
-    if schedule == "dense":
-        sched = Schedule(**common)
-    elif schedule == "causal":
-        sched = CausalSchedule(**common)
-    elif schedule == "local":
-        sched = LocalSchedule(**common, radius=radius)
-    elif schedule == "local_causal":
-        sched = LocalSchedule(**common, radius=radius, causal=True)
-    elif schedule == "block":
-        sched = BlockDiagonalSchedule(**common, section=section)
-    elif schedule == "circulant":
-        sched = CirculantSchedule(**common, radius=radius)
-    elif schedule == "shifted":
-        sched = ShiftedMaskSchedule(
-            **common, shift=shift, radius=radius, wrap_n=wrap_n,
-            causal=shifted_causal,
-        )
-    else:
-        raise ValueError(f"unknown schedule {schedule!r}")
+    sched = build_schedule(
+        schedule, n_q, n_kv, block_q, block_kv, radius=radius,
+        section=section, shift=shift, wrap_n=wrap_n,
+        shifted_causal=shifted_causal,
+    )
 
     qf = _pad_seq(qf, sched.n_q_pad)
     kf = _pad_seq(kf, sched.n_kv_pad)
     vf = _pad_seq(vf, sched.n_kv_pad)
 
-    o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype)
+    o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     lse = lse[:, :n_q].reshape(b, h, n_q)
     if return_lse:

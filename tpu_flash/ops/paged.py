@@ -64,8 +64,8 @@ def _paged_kernel(
     append: bool,
 ):
     if append:
-        (lens_ref, pt_ref, tpage_ref, off_ref, q_ref, k_ref, v_ref,
-         *rest) = all_refs
+        (lens_ref, pt_ref, start_ref, tpage_ref, off_ref, q_ref, k_ref,
+         v_ref, *rest) = all_refs
         if quantized:
             (ks_ref, vs_ref, kn_ref, vn_ref, o_ref, kp_out, vp_out,
              ks_out, vs_out, m_scr, l_scr, acc_scr) = rest
@@ -74,7 +74,7 @@ def _paged_kernel(
              m_scr, l_scr, acc_scr) = rest
             ks_ref = vs_ref = ks_out = vs_out = None
     else:
-        (lens_ref, pt_ref, q_ref, k_ref, v_ref, *rest) = all_refs
+        (lens_ref, pt_ref, start_ref, q_ref, k_ref, v_ref, *rest) = all_refs
         if quantized:
             (ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr) = rest
         else:
@@ -90,7 +90,13 @@ def _paged_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lens_ref[b]
-    num_pages = pl.cdiv(length, page)
+    # banded (sliding-window) decode starts at token `start` (0 for full
+    # attention): grid step i covers page start//page + i, so the bound can
+    # be sized to the WINDOW, not the sequence.
+    start_tok = start_ref[b]
+    start_pg = start_tok // page
+    page_idx = start_pg + i
+    num_pages = pl.cdiv(length, page) - start_pg
 
     if append:
         # Fused append: the target page is being read for attention anyway,
@@ -101,7 +107,7 @@ def _paged_kernel(
         # Writing every visited page back instead measurably serializes the
         # input pipeline.
         off = off_ref[b]
-        is_target = i == tpage_ref[b]
+        is_target = page_idx == tpage_ref[b]
         kn, ksc = _encode_row(
             kn_ref[0].astype(jnp.float32),
             quantized=quantized, int4=int4, out_dtype=kp_out.dtype,
@@ -173,9 +179,12 @@ def _paged_kernel(
         )
         if quantized:
             s = s * (ks_m[:, 0] if append else ks_ref[:, 0])  # (kvh, 1, page)
-        # mask beyond-length keys on the (only) partial page
-        k_pos = i * page + lax.broadcasted_iota(jnp.int32, (1, 1, page), 2)
-        s = jnp.where(k_pos < length, s, DEFAULT_MASK_VALUE)
+        # mask outside [start, length) — beyond-length tail of the last
+        # page, and (for banded decode) pre-window head of the first page
+        k_pos = page_idx * page + lax.broadcasted_iota(
+            jnp.int32, (1, 1, page), 2)
+        s = jnp.where((k_pos >= start_tok) & (k_pos < length), s,
+                      DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, :, :1]
         l_prev = l_scr[:, :, :1]
@@ -352,6 +361,7 @@ def paged_attention(
     slots: jnp.ndarray,
     *,
     new_kv=None,
+    radius: Optional[int] = None,
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -369,6 +379,10 @@ def paged_attention(
         (the separate append kernel costs ~0.4 ms/layer of pure overhead),
         and the call returns ``(out, new_cache)``. Without it the K/V must
         already be appended and the call returns just ``out``.
+      radius: sliding-window band radius — the query attends only keys at
+        positions ≥ pos − radius (plus itself). The page scan starts at the
+        band, so ``pages_bound`` can be sized to the WINDOW instead of the
+        sequence. None = full history.
       pages_bound: static cap on pages scanned (defaults to the cache's
         max_pages_per_seq; pass a tighter bound when max length is known).
     """
@@ -388,6 +402,9 @@ def paged_attention(
     if interpret is None:
         interpret = _interpret_default()
     num_steps = pages_bound or cfg.max_pages_per_seq
+    if radius is not None:
+        # the band spans ≤ radius+1 tokens → at most this many pages
+        num_steps = min(num_steps, cdiv(radius + 1, page) + 1)
     quantized = cfg.quantized
     int4 = cfg.dtype == "int4"
     append = new_kv is not None
@@ -395,6 +412,11 @@ def paged_attention(
     pos = cache.lengths[slots].astype(jnp.int32)  # (B,)
     # with fused append the new token (at position pos) is part of the view
     lengths = pos + 1 if append else pos
+    # banded decode: first visible key position (current token = lengths-1)
+    if radius is not None:
+        start = jnp.maximum(lengths - 1 - radius, 0)
+    else:
+        start = jnp.zeros_like(lengths)
     page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
 
     # base-2 softmax: log2(e) rides the q prescale (see ops/flash.py); the
@@ -403,17 +425,18 @@ def paged_attention(
     qg = (q.astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     qg = qg.reshape(b, kvh, g, d)
 
-    n_prefetch = 4 if append else 2
+    n_prefetch = 5 if append else 3
 
-    def phys_page(bi, i, lens, pt, *_):
+    def phys_page(bi, i, lens, pt, st, *_):
         np_b = jnp.maximum(pl.cdiv(lens[bi], page), 1)
-        return pt[bi, jnp.minimum(i, np_b - 1)]
+        logical = st[bi] // page + i
+        return pt[bi, jnp.clip(logical, 0, np_b - 1)]
 
     def q_map(bi, i, *_):
         return (bi, 0, 0, 0)
 
-    def kv_map(bi, i, lens, pt, *_):
-        return (0, phys_page(bi, i, lens, pt), 0, 0)
+    def kv_map(bi, i, lens, pt, st, *_):
+        return (0, phys_page(bi, i, lens, pt, st), 0, 0)
 
     page_spec = pl.BlockSpec((kvh, 1, page, stor), kv_map)
     sc_spec = pl.BlockSpec((kvh, 1, 1, page), kv_map)
@@ -421,7 +444,7 @@ def paged_attention(
 
     in_specs = [pl.BlockSpec((1, kvh, g, d), q_map), page_spec, page_spec]
     inputs = [qg, cache.k_pages, cache.v_pages]
-    scalars = [lengths, page_tables]
+    scalars = [lengths, page_tables, start]
     if append:
         scalars += [pos // page, pos % page]
     if quantized:
@@ -446,7 +469,7 @@ def paged_attention(
         in_specs += [new_spec, new_spec]
         inputs += [kn, vn]
 
-        def target_map(bi, i, lens, pt, tpage, off):
+        def target_map(bi, i, lens, pt, st, tpage, off):
             # clamp defensively: an out-of-range tpage (corrupted lengths)
             # must never alias another lane's page-table row
             tp = jnp.minimum(tpage[bi], pt.shape[1] - 1)

@@ -42,7 +42,7 @@ from tpu_flash.ops.flash import (
     _NT_DIMS,
     _interpret_default,
     _pad_seq,
-    _pick_block,
+    build_schedule,
 )
 from tpu_flash.ops.schedule import (
     BlockDiagonalSchedule,
@@ -280,27 +280,11 @@ def quantized_flash_attention(
         kf = jnp.concatenate([kf[:, -radius:], kf, kf[:, :radius]], axis=1)
         vf = jnp.concatenate([vf[:, -radius:], vf, vf[:, :radius]], axis=1)
 
-    bq = _pick_block(n_q, block_q)
-    bkv = _pick_block(kf.shape[1], block_kv)
-    if schedule == "block":
-        if section <= 0:
-            raise ValueError("block schedule requires section > 0")
-        bq = min(bq, section)
-        bkv = min(bkv, section)
-        while section % bq:
-            bq -= 1
-        while section % bkv:
-            bkv -= 1
-
-    common = dict(n_q=n_q, n_kv=n_kv, block_q=bq, block_kv=bkv)
-    sched = {
-        "dense": lambda: Schedule(**common),
-        "causal": lambda: CausalSchedule(**common),
-        "local": lambda: LocalSchedule(**common, radius=radius),
-        "local_causal": lambda: LocalSchedule(**common, radius=radius, causal=True),
-        "block": lambda: BlockDiagonalSchedule(**common, section=section),
-        "circulant": lambda: CirculantSchedule(**common, radius=radius),
-    }[schedule]()
+    if schedule == "shifted":
+        raise NotImplementedError("quantized shifted schedule")
+    sched = build_schedule(
+        schedule, n_q, n_kv, block_q, block_kv, radius=radius, section=section
+    )
 
     # Quantize after halo extension / before padding.
     kq = quantize(kf, kv_dtype, axis=-1)  # per token

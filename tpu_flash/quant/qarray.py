@@ -115,13 +115,18 @@ def unpack_int4_halves(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
-def quantize_int4(x: jnp.ndarray, axis: int = -1) -> QArray:
-    """INT4 symmetric quantization; values stored nibble-packed int8
-    (half the last axis)."""
+def _quantize_int4_vals(x: jnp.ndarray, axis: int):
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
     scales = jnp.maximum(amax, _EPS) / 7.0
     vals = jnp.clip(jnp.round(x32 / scales), -8, 7).astype(jnp.int8)
+    return vals, scales
+
+
+def quantize_int4(x: jnp.ndarray, axis: int = -1) -> QArray:
+    """INT4 symmetric quantization; values stored nibble-packed int8
+    (half the last axis)."""
+    vals, scales = _quantize_int4_vals(x, axis)
     return QArray(values=pack_int4(vals), scales=scales, axis=axis)
 
 
@@ -132,8 +137,5 @@ def dequantize_int4(qa: QArray) -> jnp.ndarray:
 def quantize_int4_halves(x: jnp.ndarray, axis: int = -1) -> QArray:
     """INT4 symmetric quantization with halves packing (the layout the
     paged-cache kernels unpack with two shifts + a lane concat)."""
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
-    scales = jnp.maximum(amax, _EPS) / 7.0
-    vals = jnp.clip(jnp.round(x32 / scales), -8, 7).astype(jnp.int8)
+    vals, scales = _quantize_int4_vals(x, axis)
     return QArray(values=pack_int4_halves(vals), scales=scales, axis=axis)

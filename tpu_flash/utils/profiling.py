@@ -27,7 +27,7 @@ from tpu_flash.bench.harness import device_peaks
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, *, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """jax.profiler trace scope writing a TensorBoard/xprof trace."""
     jax.profiler.start_trace(log_dir, create_perfetto_link=False)
     try:
