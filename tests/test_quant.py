@@ -149,3 +149,18 @@ def test_quantized_windowed_2d(rng, q_dtype):
                               q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
     err = float(jnp.max(jnp.abs(base.astype(jnp.float32) - quant.astype(jnp.float32))))
     assert 0 < err <= 0.15, f"2D windowed quantized err={err}"
+
+
+@pytest.mark.parametrize("q_dtype", ["int8", "float8_e4m3fn"])
+def test_quantized_gqa_matches_repeated_kv(rng, q_dtype):
+    """Quantized GQA (kv index maps) equals explicitly repeated K/V."""
+    b, hq, hkv, n, d = 1, 6, 2, 192, 32
+    q, k, v = (_rand(rng, b, hq, n, d), _rand(rng, b, hkv, n, d),
+               _rand(rng, b, hkv, n, d))
+    kr = jnp.repeat(k, hq // hkv, axis=1)
+    vr = jnp.repeat(v, hq // hkv, axis=1)
+    o = flash_q.quantized_flash_attention(
+        q, k, v, q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
+    o_ref = flash_q.quantized_flash_attention(
+        q, kr, vr, q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
+    assert jnp.array_equal(o, o_ref)

@@ -353,12 +353,6 @@ def flash_attention(
     hq, hkv = q.shape[1], k.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
-    if (q_dtype is not None or kv_dtype is not None) and hkv != hq:
-        # quantized path has no GQA index maps yet; expand K/V
-        g = hq // hkv
-        k = jnp.repeat(k, g, axis=1)
-        v = jnp.repeat(v, g, axis=1)
-        hkv = hq
     if q_dtype is not None or kv_dtype is not None:
         # Quantized route: every schedule and N-d wrapper gains FP8/INT8
         # through this one dispatch (kv_dtype alone = weight-only mode).

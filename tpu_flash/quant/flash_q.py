@@ -163,6 +163,8 @@ def _quantized_fwd(
     *,
     interpret: bool,
     out_dtype,
+    hq: int = 1,
+    hkv: int = 1,
 ):
     q_quant = qq is not None
     v_quant = isinstance(vq, QArray)
@@ -173,9 +175,17 @@ def _quantized_fwd(
     bq, bkv = sched.block_q, sched.block_kv
     grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
     num_steps = sched.max_kv_steps
+    g = hq // hkv
 
-    kv_map = lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0)
-    kv_scale_map = lambda b, i, s, _s=sched: (b, 0, _s.kv_block_index(i, s))
+    def kv_row(b):
+        # GQA as in ops/flash.py: kv rows read through an index map
+        if g == 1:
+            return b
+        return (b // hq) * hkv + (b % hq) // g
+
+    kv_map = lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0)
+    kv_scale_map = lambda b, i, s, _s=sched: (
+        kv_row(b), 0, _s.kv_block_index(i, s))
 
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
@@ -183,14 +193,16 @@ def _quantized_fwd(
         pl.BlockSpec((1, bkv, dv), kv_map),
     ]
     inputs = [q_vals, kq.values, v_vals]
+    bh_kv = kq.values.shape[0]
     if q_quant:
         in_specs.append(pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)))
         inputs.append(qq.scales.reshape(bh, 1, nq_pad))
     in_specs.append(pl.BlockSpec((1, 1, bkv), kv_scale_map))
-    inputs.append(kq.scales.reshape(bh, 1, -1))
+    inputs.append(kq.scales.reshape(bh_kv, 1, -1))
     if v_quant:
-        in_specs.append(pl.BlockSpec((1, 1, dv), lambda b, i, s: (b, 0, 0)))
-        inputs.append(vq.scales.reshape(bh, 1, dv))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, dv), lambda b, i, s: (kv_row(b), 0, 0)))
+        inputs.append(vq.scales.reshape(bh_kv, 1, dv))
 
     kernel = functools.partial(
         _q_fwd_kernel,
@@ -256,6 +268,9 @@ def quantized_flash_attention(
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
+    hq, hkv = q.shape[1], k.shape[1]
+    if hq % hkv:
+        raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
     kv_dtype = jnp.dtype(kv_dtype)
     if q_dtype is not None:
         q_dtype = jnp.dtype(q_dtype)
@@ -273,8 +288,8 @@ def quantized_flash_attention(
         interpret = _interpret_default()
 
     qf = (q.astype(jnp.float32) * scale).reshape(b * h, n_q, d)
-    kf = k.reshape(b * h, n_kv, d).astype(jnp.float32)
-    vf = v.reshape(b * h, n_kv, dv).astype(jnp.float32)
+    kf = k.reshape(b * hkv, n_kv, d).astype(jnp.float32)
+    vf = v.reshape(b * hkv, n_kv, dv).astype(jnp.float32)
 
     if schedule == "circulant" and radius > 0:
         kf = jnp.concatenate([kf[:, -radius:], kf, kf[:, :radius]], axis=1)
@@ -310,7 +325,8 @@ def quantized_flash_attention(
         q_raw = _pad_seq((qf * LOG2E).astype(jnp.bfloat16), sched.n_q_pad)
 
     o, lse = _quantized_fwd(
-        qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype
+        qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype,
+        hq=h, hkv=hkv,
     )
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     lse = lse[:, :n_q].reshape(b, h, n_q)
