@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.cache.paged_cache import PagedKVCache
-from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LOG2E, _interpret_default
+from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E, _interpret_default
 from tpu_flash.ops.schedule import cdiv
 
 _LANES = 128
@@ -62,23 +62,28 @@ def _paged_kernel(
     int4: bool,
     head_dim: int,
     append: bool,
+    want_lse: bool,
 ):
     if append:
         (lens_ref, pt_ref, start_ref, tpage_ref, off_ref, q_ref, k_ref,
          v_ref, *rest) = all_refs
         if quantized:
             (ks_ref, vs_ref, kn_ref, vn_ref, o_ref, kp_out, vp_out,
-             ks_out, vs_out, m_scr, l_scr, acc_scr) = rest
+             ks_out, vs_out, *rest2) = rest
         else:
-            (kn_ref, vn_ref, o_ref, kp_out, vp_out,
-             m_scr, l_scr, acc_scr) = rest
+            (kn_ref, vn_ref, o_ref, kp_out, vp_out, *rest2) = rest
             ks_ref = vs_ref = ks_out = vs_out = None
     else:
         (lens_ref, pt_ref, start_ref, q_ref, k_ref, v_ref, *rest) = all_refs
         if quantized:
-            (ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr) = rest
+            (ks_ref, vs_ref, o_ref, *rest2) = rest
         else:
-            (o_ref, m_scr, l_scr, acc_scr) = rest
+            (o_ref, *rest2) = rest
+    if want_lse:
+        (lse_ref, m_scr, l_scr, acc_scr) = rest2
+    else:
+        (m_scr, l_scr, acc_scr) = rest2
+        lse_ref = None
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -207,8 +212,18 @@ def _paged_kernel(
     @pl.when(i == num_steps - 1)
     def _finish():
         l = l_scr[:, :, :1]
-        l_inv = jnp.where(l > 0.0, 1.0 / l, 0.0)
+        m = m_scr[:, :, :1]
+        # empty/fully-masked shard: o = 0, lse = -inf (merge weight 0)
+        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
         o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        if want_lse:
+            lse = jnp.where(
+                valid,
+                m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                -jnp.inf,
+            )
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _append_kernel(
@@ -364,6 +379,7 @@ def paged_attention(
     radius: Optional[int] = None,
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
+    return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Decode attention over the paged cache, optionally fused with the
@@ -493,6 +509,12 @@ def paged_attention(
             aliases[n_prefetch + 3] = 3
             aliases[n_prefetch + 4] = 4
 
+    if return_lse:
+        # lse rides as the LAST output so the page-alias indices above stay
+        # valid; natural-log units (the cross-shard merge contract).
+        out_specs += [pl.BlockSpec((1, kvh, g, _LANES), q_map)]
+        out_shapes += [jax.ShapeDtypeStruct((b, kvh, g, _LANES), jnp.float32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(b, num_steps),
@@ -512,6 +534,7 @@ def paged_attention(
         int4=int4,
         head_dim=d,
         append=append,
+        want_lse=return_lse,
     )
     outs = pl.pallas_call(
         kernel,
@@ -524,8 +547,9 @@ def paged_attention(
         interpret=interpret,
     )(*scalars, *inputs)
     o = outs[0].reshape(b, qh, d)
+    lse = outs[-1][..., 0].reshape(b, qh) if return_lse else None
     if not append:
-        return o
+        return (o, lse) if return_lse else o
     import dataclasses as _dc
 
     kw = dict(
@@ -536,4 +560,7 @@ def paged_attention(
     if quantized:
         kw["k_scales"] = outs[3].reshape(cache.k_scales.shape)
         kw["v_scales"] = outs[4].reshape(cache.v_scales.shape)
-    return o, _dc.replace(cache, **kw)
+    new_cache = _dc.replace(cache, **kw)
+    if return_lse:
+        return o, lse, new_cache
+    return o, new_cache
