@@ -165,3 +165,21 @@ def test_sliding_window_decode_matches_full_forward():
         # the full history instead of the window) shows up as O(1) errors
         assert err < 0.15, f"decode logits diverge from sliding forward: {err}"
         toks.append(int(jnp.argmax(ref)))
+
+
+def test_chunked_prefill_matches_unchunked(params):
+    """Long prompts streamed in page-aligned chunks must produce exactly the
+    tokens the one-shot prefill engine produces (f32 cache, greedy)."""
+    prompt = list(np.random.default_rng(11).integers(1, 255, 75))
+
+    def run(chunk_size):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, chunk_size=chunk_size))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6))
+        # a short request rides alongside to exercise interleaving
+        eng.submit(Request(rid=1, prompt=[5, 6, 7], max_new_tokens=6))
+        return sorted((f.rid, tuple(f.tokens)) for f in eng.run())
+
+    base = run(None)
+    chunked = run(32)  # page_size 16 → 2-page chunks; 75 tokens → 3 chunks
+    assert chunked == base

@@ -156,6 +156,51 @@ class PagedKVCache:
             lengths=self.lengths.at[slot].set(n),
         )
 
+    def write_chunk(
+        self, slot, k: jnp.ndarray, v: jnp.ndarray, offset, valid_n=None
+    ) -> "PagedKVCache":
+        """Write a page-aligned CHUNK of a prompt at token ``offset``.
+
+        k, v: ``(kv_heads, chunk_len, head_dim)``; ``offset`` (python int or
+        traced scalar) must be a multiple of page_size (chunks are sized in
+        pages). Sets the slot length to ``offset + valid_n`` — pass
+        ``valid_n < chunk_len`` for a padded final chunk (the padded tail is
+        page-covered and masked by length).
+        """
+        cfg = self.config
+        if isinstance(offset, int) and offset % cfg.page_size:
+            raise ValueError("chunk offset must be page-aligned")
+        kh, n, d = k.shape
+        page = cfg.page_size
+        n_pad = -(-n // page) * page
+        if n_pad != n:
+            pad = ((0, 0), (0, n_pad - n), (0, 0))
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        num_pages = n_pad // page
+        kv_vals, k_sc = self._encode(k)
+        vv_vals, v_sc = self._encode(v)
+        kv_vals = kv_vals.reshape(kh, num_pages, page, -1)
+        vv_vals = vv_vals.reshape(kh, num_pages, page, -1)
+        ids = jax.lax.dynamic_slice_in_dim(
+            self.page_tables[slot], offset // page, num_pages
+        )  # offset may be traced; dynamic_slice handles both
+        k_pages = self.k_pages.at[:, ids].set(kv_vals)
+        v_pages = self.v_pages.at[:, ids].set(vv_vals)
+        k_scales, v_scales = self.k_scales, self.v_scales
+        if k_sc is not None:
+            k_scales = k_scales.at[:, ids].set(k_sc.reshape(kh, num_pages, page))
+            v_scales = v_scales.at[:, ids].set(v_sc.reshape(kh, num_pages, page))
+        valid = n if valid_n is None else valid_n
+        return dataclasses.replace(
+            self,
+            k_pages=k_pages,
+            v_pages=v_pages,
+            k_scales=k_scales,
+            v_scales=v_scales,
+            lengths=self.lengths.at[slot].set(offset + valid),
+        )
+
     def append(self, slots, k: jnp.ndarray, v: jnp.ndarray) -> "PagedKVCache":
         """Append ONE token per sequence for a batch of slots.
 

@@ -246,6 +246,79 @@ def prefill(params, tokens, cfg: ModelConfig, tp_axis=None):
     return logits, kv
 
 
+def prefill_chunk(params, tokens, offset, true_len, caches, slot,
+                  cfg: ModelConfig, pages_bound=None, tp_axis=None):
+    """Process ONE page-aligned chunk of a prompt against the paged cache.
+
+    Chunked prefill keeps long prompts from blocking the decode batch: the
+    engine interleaves one chunk per step. Per layer, the chunk attends the
+    already-cached prefix through the paged decode kernel (every chunk token
+    rides a batch lane) and itself through the causal flash kernel; the two
+    partials merge with the (o, lse) algebra — the reference's column-tile
+    merge (src/dense.jl:82-89) applied across the prefix/chunk split.
+
+    tokens: ``(1, C)`` int32, padded to the chunk bucket; ``offset`` (traced
+    scalar) is the chunk's first position (page-aligned); ``true_len`` the
+    number of real tokens in it. Returns ``(logits (1, C, vocab) f32,
+    greedy_last int32, new_caches)`` — ``greedy_last`` is the argmax token
+    after the last REAL position (used on the final chunk).
+    """
+    from tpu_flash.parallel.ring import merge_partials
+
+    b, C = tokens.shape
+    positions = offset + jnp.arange(C, dtype=jnp.int32)[None, :]
+    x = params["embed"][tokens]
+    radius = (cfg.window - 1) // 2 if cfg.attention == "sliding" else None
+    slot_lanes = jnp.full((C,), slot, jnp.int32)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln_attn"])
+        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qh = qp.shape[-1] // cfg.head_dim
+        kvh = kp.shape[-1] // cfg.head_dim
+        q = apply_rope(qp.reshape(b, C, qh, cfg.head_dim), positions,
+                       cfg.rope_theta)
+        k = apply_rope(kp.reshape(b, C, kvh, cfg.head_dim), positions,
+                       cfg.rope_theta)
+        v = vp.reshape(b, C, kvh, cfg.head_dim)
+
+        # prefix attention BEFORE the write: cache.lengths is still the
+        # prefix length, so the paged kernel sees exactly [start, offset)
+        o1, lse1 = paged_attention(
+            q[0].astype(x.dtype), cache, slot_lanes, radius=radius,
+            pages_bound=pages_bound, return_lse=True,
+        )  # (C, qh, d), (C, qh) — chunk tokens ride the lane axis
+        # in-chunk causal attention; padded tail rows only ever attend
+        # earlier real keys, nothing attends the padding
+        o2, lse2 = flash.flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), schedule="causal",
+            block_q=cfg.block_q, block_kv=cfg.block_kv, return_lse=True,
+        )  # (1, qh, C, d), (1, qh, C)
+        o, _ = merge_partials(
+            jnp.swapaxes(o1, 0, 1)[None].astype(jnp.float32),
+            jnp.swapaxes(lse1, 0, 1)[None],
+            o2.astype(jnp.float32), lse2,
+        )
+        o = jnp.swapaxes(o, 1, 2).astype(x.dtype)  # (1, C, qh, d)
+
+        cache = cache.write_chunk(
+            slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1),
+            offset, valid_n=true_len,
+        )
+        x = x + _psum(_mm(o.reshape(b, C, qh * cfg.head_dim), layer["wo"]),
+                      tp_axis)
+        hm = rmsnorm(x, layer["ln_mlp"])
+        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + _psum(_mm(gate * _mm(hm, layer["w_up"]), layer["w_down"]),
+                      tp_axis)
+        new_caches.append(cache)
+    x = rmsnorm(x, params["ln_f"])
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, keepdims=False)
+    return logits, jnp.argmax(last).astype(jnp.int32), new_caches
+
+
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
                 pages_bound=None, tp_axis=None):
     """One decode step over the paged caches.

@@ -43,6 +43,11 @@ def save_checkpoint(path: str, engine: Engine) -> None:
     """
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
+    if getattr(engine, "prefilling", None):
+        raise ValueError(
+            "cannot snapshot with chunked prefills in flight; step the "
+            "engine until engine.prefilling is empty"
+        )
 
     arrays = {
         "params": engine.params,

@@ -88,6 +88,8 @@ class EngineConfig:
     max_batch: int = 8
     prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
     pages_bound: Optional[int] = None  # static cap for the decode kernel
+    chunk_size: Optional[int] = None  # tokens per prefill chunk (page-multiple);
+    # prompts longer than this stream in chunks interleaved with decode steps
     seed: int = 0
 
 
@@ -134,7 +136,12 @@ class Engine:
         )
         self.waiting: deque[Request] = deque()
         self.running: dict[int, _Running] = {}
+        self.prefilling: dict[int, dict] = {}  # slot → chunked-prefill state
         self.finished: List[FinishedRequest] = []
+        if engine_cfg.chunk_size is not None and (
+            engine_cfg.chunk_size % cache_cfg.page_size
+        ):
+            raise ValueError("chunk_size must be a multiple of page_size")
         self._rng = np.random.default_rng(engine_cfg.seed)
         self._key = jax.random.PRNGKey(engine_cfg.seed)
         self._decode_fns = {}
@@ -245,15 +252,16 @@ class Engine:
         self.waiting.append(req)
 
     def step(self) -> None:
-        """Admit + prefill new requests, then advance all running sequences
-        by one decode token."""
+        """Admit + prefill new requests, advance one chunked prefill, then
+        advance all running sequences by one decode token."""
         self._admit()
+        self._advance_prefill()
         if self.running:
             self._decode()
 
     def run(self, max_steps: int = 10_000) -> List[FinishedRequest]:
         steps = 0
-        while (self.waiting or self.running) and steps < max_steps:
+        while (self.waiting or self.running or self.prefilling) and steps < max_steps:
             self.step()
             steps += 1
         return self.finished
@@ -293,18 +301,96 @@ class Engine:
         while (
             self.waiting
             and self._free_slots
-            and len(self.running) < self.ecfg.max_batch
+            and len(self.running) + len(self.prefilling) < self.ecfg.max_batch
         ):
             req = self.waiting[0]
-            bucket = self._bucket(len(req.prompt) + 1)
-            pages_needed = -(-bucket // self.ccfg.page_size)
+            cs = self.ecfg.chunk_size
+            chunked = cs is not None and len(req.prompt) > cs
+            bucket = cs if chunked else self._bucket(len(req.prompt) + 1)
+            if chunked:
+                # page-cover the whole prompt plus one decode token up front
+                pages_needed = -(-(len(req.prompt) + 1) // self.ccfg.page_size)
+            else:
+                pages_needed = -(-bucket // self.ccfg.page_size)
             slot = self._free_slots[0]
             if not self._alloc.admit(slot, pages_needed):
                 break  # pool exhausted; retry next step
             self.waiting.popleft()
             self._free_slots.popleft()
             self._sync_slot_tables(slot)
-            self._prefill(req, slot, bucket, pages_needed)
+            if chunked:
+                self.prefilling[slot] = dict(
+                    req=req, done=0, pages=pages_needed
+                )
+            else:
+                self._prefill(req, slot, bucket, pages_needed)
+
+    def _chunk_fn(self, chunk: int):
+        key = ("chunk", chunk)
+        if key not in self._prefill_fns:
+            mcfg, axis = self.mcfg, self.tp_axis
+
+            def run(params, caches, tokens, offset, true_len, slot, temp, k):
+                logits, _, caches = tfm.prefill_chunk(
+                    params, tokens, offset, true_len, caches, slot, mcfg,
+                    tp_axis=axis,
+                )
+                last = jax.lax.dynamic_index_in_dim(
+                    logits[0], true_len - 1, keepdims=False
+                )
+                tok = _device_sample(last[None], temp[None], k)[0]
+                return tok, caches
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from tpu_flash.parallel.shardings import (
+                    cache_pspecs, param_pspecs,
+                )
+
+                pp = param_pspecs(self.params, axis)
+                cs_specs = [cache_pspecs(c, axis) for c in self.caches]
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(pp, cs_specs, P(), P(), P(), P(), P(), P()),
+                    out_specs=(P(), cs_specs),
+                    check_vma=False,
+                )
+            self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
+        return self._prefill_fns[key]
+
+    def _advance_prefill(self) -> None:
+        """Process ONE chunk of the oldest in-flight chunked prefill —
+        long prompts stream through without stalling the decode batch."""
+        if not self.prefilling:
+            return
+        slot, st = next(iter(self.prefilling.items()))
+        req, done = st["req"], st["done"]
+        cs = self.ecfg.chunk_size
+        chunk = req.prompt[done : done + cs]
+        true_n = len(chunk)
+        toks = np.zeros((1, cs), np.int32)
+        toks[0, :true_n] = chunk
+        self._key, sub = jax.random.split(self._key)
+        tok_dev, self.caches = self._chunk_fn(cs)(
+            self.params, self.caches, jnp.asarray(toks), jnp.int32(done),
+            jnp.int32(true_n), jnp.int32(slot),
+            jnp.float32(req.temperature), sub,
+        )
+        st["done"] = done + true_n
+        if st["done"] >= len(req.prompt):
+            del self.prefilling[slot]
+            self.running[slot] = _Running(
+                rid=req.rid,
+                slot=slot,
+                tokens=list(req.prompt) + [int(tok_dev)],
+                prompt_len=len(req.prompt),
+                max_new_tokens=req.max_new_tokens,
+                temperature=req.temperature,
+                eos_id=req.eos_id,
+                alloc_tokens=st["pages"] * self.ccfg.page_size,
+                next_token=int(tok_dev),
+            )
+            self._maybe_finish(slot)
 
     def _write_fn(self, bucket: int):
         """Jitted, cache-donating writer for a whole prompt across all
