@@ -183,3 +183,41 @@ def test_chunked_prefill_matches_unchunked(params):
     base = run(None)
     chunked = run(32)  # page_size 16 → 2-page chunks; 75 tokens → 3 chunks
     assert chunked == base
+
+
+def test_chunked_prefill_at_page_capacity(params):
+    """Final-chunk padding near max_pages_per_seq: the padded tail's page
+    writes run past the slot's table; they must spill to the trash page,
+    NOT clamp backwards onto real pages (which silently corrupted the K/V
+    of earlier tokens)."""
+    prompt = list(np.random.default_rng(13).integers(1, 255, 121))
+    ccfg = _cache_cfg("float32", max_pages_per_seq=8, total_pages=64)
+    # capacity 8*16 = 128 tokens; chunks of 48 → final chunk (offset 96,
+    # 25 real tokens, padded to 48) covers table entries 6..8 — one past
+    # the table.
+
+    def run(chunk_size):
+        eng = Engine(params, _MCFG, ccfg,
+                     EngineConfig(max_batch=2, chunk_size=chunk_size))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=4))
+        return [f.tokens for f in eng.run()]
+
+    assert run(48) == run(None)
+
+
+def test_chunked_prefill_sliding_window(params):
+    """Chunked prefill of a sliding-window model must equal the unchunked
+    path: each chunk token's prefix band starts at ITS position − radius
+    (not the chunk base) and the in-chunk pass uses the banded schedule."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(_MCFG, attention="sliding", window=33)
+    prompt = list(np.random.default_rng(17).integers(1, 255, 100))
+
+    def run(chunk_size):
+        eng = Engine(params, mcfg, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, chunk_size=chunk_size))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6))
+        return [f.tokens for f in eng.run()]
+
+    assert run(32) == run(None)

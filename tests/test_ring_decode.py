@@ -43,7 +43,6 @@ def test_sharded_decode_matches_single_cache(dtype):
     toks = [(jnp.asarray(rng.standard_normal((S, kh, d)), jnp.float32),
              jnp.asarray(rng.standard_normal((S, kh, d)), jnp.float32))
             for _ in range(n0 + n1)]
-    pt = jnp.asarray(np.arange(1, 9).reshape(4, 2, 1)[:, :, 0], jnp.int32)
     pt = jnp.zeros((4, 4), jnp.int32).at[:, :2].set(
         jnp.asarray(np.arange(1, 9).reshape(4, 2), jnp.int32))
 

@@ -124,37 +124,7 @@ class PagedKVCache:
         The slot's page table must already cover ``ceil(prompt_len/page)``
         pages. Resets the slot length to ``prompt_len``.
         """
-        cfg = self.config
-        kh, n, d = k.shape
-        page = cfg.page_size
-        n_pad = -(-n // page) * page
-        if n_pad != n:
-            pad = ((0, 0), (0, n_pad - n), (0, 0))
-            k = jnp.pad(k, pad)
-            v = jnp.pad(v, pad)
-        num_pages = n_pad // page
-        kv_vals, k_sc = self._encode(k)
-        vv_vals, v_sc = self._encode(v)
-        # (kh, num_pages, page, stor_dim)
-        kv_vals = kv_vals.reshape(kh, num_pages, page, -1)
-        vv_vals = vv_vals.reshape(kh, num_pages, page, -1)
-        ids = jax.lax.dynamic_slice_in_dim(
-            self.page_tables[slot], 0, num_pages
-        )  # (num_pages,)
-        k_pages = self.k_pages.at[:, ids].set(kv_vals)
-        v_pages = self.v_pages.at[:, ids].set(vv_vals)
-        k_scales, v_scales = self.k_scales, self.v_scales
-        if k_sc is not None:
-            k_scales = k_scales.at[:, ids].set(k_sc.reshape(kh, num_pages, page))
-            v_scales = v_scales.at[:, ids].set(v_sc.reshape(kh, num_pages, page))
-        return dataclasses.replace(
-            self,
-            k_pages=k_pages,
-            v_pages=v_pages,
-            k_scales=k_scales,
-            v_scales=v_scales,
-            lengths=self.lengths.at[slot].set(n),
-        )
+        return self.write_chunk(slot, k, v, 0)
 
     def write_chunk(
         self, slot, k: jnp.ndarray, v: jnp.ndarray, offset, valid_n=None
@@ -182,8 +152,16 @@ class PagedKVCache:
         vv_vals, v_sc = self._encode(v)
         kv_vals = kv_vals.reshape(kh, num_pages, page, -1)
         vv_vals = vv_vals.reshape(kh, num_pages, page, -1)
+        # Pad the table row so a final chunk whose padded tail runs past the
+        # slot's allocation (or past max_pages_per_seq) resolves to entry 0
+        # = the trash page — WITHOUT dynamic_slice's start-clamping, which
+        # would silently shift the write onto earlier REAL pages.
+        row = jnp.concatenate([
+            self.page_tables[slot],
+            jnp.zeros((num_pages,), self.page_tables.dtype),
+        ])
         ids = jax.lax.dynamic_slice_in_dim(
-            self.page_tables[slot], offset // page, num_pages
+            row, offset // page, num_pages
         )  # offset may be traced; dynamic_slice handles both
         k_pages = self.k_pages.at[:, ids].set(kv_vals)
         v_pages = self.v_pages.at[:, ids].set(vv_vals)

@@ -283,16 +283,24 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
         v = vp.reshape(b, C, kvh, cfg.head_dim)
 
         # prefix attention BEFORE the write: cache.lengths is still the
-        # prefix length, so the paged kernel sees exactly [start, offset)
+        # prefix length, so the paged kernel sees exactly [start, offset).
+        # Per-lane positions give each chunk token its OWN band start for
+        # sliding models (lane i's query sits at offset + i, not offset).
         o1, lse1 = paged_attention(
             q[0].astype(x.dtype), cache, slot_lanes, radius=radius,
+            positions=positions[0] if radius is not None else None,
             pages_bound=pages_bound, return_lse=True,
         )  # (C, qh, d), (C, qh) — chunk tokens ride the lane axis
-        # in-chunk causal attention; padded tail rows only ever attend
-        # earlier real keys, nothing attends the padding
+        # in-chunk attention; padded tail rows only ever attend earlier
+        # real keys, nothing attends the padding. Sliding models use the
+        # banded causal schedule so chunk token i attends chunk keys
+        # [i − radius, i] — with the prefix band above, the union is
+        # exactly the model's window [pos − radius, pos].
         o2, lse2 = flash.flash_attention(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-            jnp.swapaxes(v, 1, 2), schedule="causal",
+            jnp.swapaxes(v, 1, 2),
+            schedule="causal" if radius is None else "local_causal",
+            radius=radius,
             block_q=cfg.block_q, block_kv=cfg.block_kv, return_lse=True,
         )  # (1, qh, C, d), (1, qh, C)
         o, _ = merge_partials(

@@ -377,6 +377,7 @@ def paged_attention(
     *,
     new_kv=None,
     radius: Optional[int] = None,
+    positions: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
     return_lse: bool = False,
@@ -399,6 +400,14 @@ def paged_attention(
         positions ≥ pos − radius (plus itself). The page scan starts at the
         band, so ``pages_bound`` can be sized to the WINDOW instead of the
         sequence. None = full history.
+      positions: optional ``(B,)`` int32 per-lane QUERY positions. By
+        default the query sits at the sequence tail (position
+        ``lengths − 1``); chunked prefill rides C chunk tokens on the lane
+        axis against the same slot, where lane i's true position is
+        ``offset + i`` — without this the banded window start would be
+        computed from the (shared) prefix length for every lane. Only
+        affects the band start; the visible key range stays
+        ``[start, lengths)``.
       pages_bound: static cap on pages scanned (defaults to the cache's
         max_pages_per_seq; pass a tighter bound when max length is known).
     """
@@ -428,9 +437,11 @@ def paged_attention(
     pos = cache.lengths[slots].astype(jnp.int32)  # (B,)
     # with fused append the new token (at position pos) is part of the view
     lengths = pos + 1 if append else pos
-    # banded decode: first visible key position (current token = lengths-1)
+    # banded decode: first visible key position (current token = lengths-1
+    # unless per-lane query positions are given — chunked sliding prefill)
     if radius is not None:
-        start = jnp.maximum(lengths - 1 - radius, 0)
+        qpos = (lengths - 1) if positions is None else positions.astype(jnp.int32)
+        start = jnp.maximum(qpos - radius, 0)
     else:
         start = jnp.zeros_like(lengths)
     page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)

@@ -80,37 +80,39 @@ def sharded_paged_attention(
         # default: the LAST shard holds each sequence's growing tail
         owns_append = lax.axis_index(axis_name) == lax.axis_size(axis_name) - 1
 
-    # Every rank runs both variants (SPMD — one program shape); the owning
-    # rank's results are selected with `where`. The non-owner attend-only
-    # call shares its page reads with the fused call through XLA CSE-able
-    # inputs; production placements with a statically known owner can call
-    # paged_attention directly per rank instead.
-    o_a, lse_a, cache_a = paged_attention(
-        q, cache, slots, new_kv=new_kv, radius=radius, scale=scale,
-        pages_bound=pages_bound, return_lse=True, interpret=interpret,
-    )
-    o_n, lse_n = paged_attention(
-        q, cache, slots, radius=radius, scale=scale,
-        pages_bound=pages_bound, return_lse=True, interpret=interpret,
-    )
-    own = owns_append
-    o = jnp.where(own, o_a, o_n)
-    lse = jnp.where(own, lse_a, lse_n)
-
+    # One lax.cond, branch chosen per rank at runtime (SPMD traces one
+    # program; the HLO conditional executes exactly ONE branch on each
+    # core). A where-merge of two pallas calls would keep the pre-append
+    # page pool alive alongside the appended one — a full pool copy per
+    # layer per step on every rank.
     import dataclasses
 
-    def pick(new, old):
-        if new is None or old is None:
-            return old
-        return jnp.where(own, new, old)
+    def _flat(c):
+        parts = [c.k_pages, c.v_pages, c.lengths]
+        if c.k_scales is not None:
+            parts += [c.k_scales, c.v_scales]
+        return tuple(parts)
 
-    cache = dataclasses.replace(
-        cache,
-        k_pages=pick(cache_a.k_pages, cache.k_pages),
-        v_pages=pick(cache_a.v_pages, cache.v_pages),
-        k_scales=pick(cache_a.k_scales, cache.k_scales),
-        v_scales=pick(cache_a.v_scales, cache.v_scales),
-        lengths=pick(cache_a.lengths, cache.lengths),
-    )
+    def _append_branch(q, cache, slots):
+        o, lse, c2 = paged_attention(
+            q, cache, slots, new_kv=new_kv, radius=radius, scale=scale,
+            pages_bound=pages_bound, return_lse=True, interpret=interpret,
+        )
+        return (o, lse) + _flat(c2)
+
+    def _frozen_branch(q, cache, slots):
+        o, lse = paged_attention(
+            q, cache, slots, radius=radius, scale=scale,
+            pages_bound=pages_bound, return_lse=True, interpret=interpret,
+        )
+        return (o, lse) + _flat(cache)
+
+    res = lax.cond(owns_append, _append_branch, _frozen_branch,
+                   q, cache, slots)
+    o, lse, kp, vp, ln = res[:5]
+    kw = dict(k_pages=kp, v_pages=vp, lengths=ln)
+    if cache.k_scales is not None:
+        kw["k_scales"], kw["v_scales"] = res[5], res[6]
+    cache = dataclasses.replace(cache, **kw)
     out = merge_shard_partials(o, lse, axis_name)
     return out, cache

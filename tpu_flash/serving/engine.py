@@ -325,16 +325,25 @@ class Engine:
             else:
                 self._prefill(req, slot, bucket, pages_needed)
 
-    def _chunk_fn(self, chunk: int):
-        key = ("chunk", chunk)
+    def _chunk_fn(self, chunk: int, pages_bound: int, final: bool):
+        """Jitted one-chunk prefill. ``pages_bound`` (static, bucketed)
+        caps the per-layer prefix page scan — without it every chunk pays
+        the full max_pages_per_seq grid (same overhead the decode path
+        buckets away). Only the ``final`` variant samples: intermediate
+        chunks' logits are dead, and sampling them would both waste two
+        vocab-size argmaxes per chunk and burn an RNG split, making
+        temperature>0 output depend on chunk_size."""
+        key = ("chunk", chunk, pages_bound, final)
         if key not in self._prefill_fns:
             mcfg, axis = self.mcfg, self.tp_axis
 
             def run(params, caches, tokens, offset, true_len, slot, temp, k):
                 logits, _, caches = tfm.prefill_chunk(
                     params, tokens, offset, true_len, caches, slot, mcfg,
-                    tp_axis=axis,
+                    pages_bound=pages_bound, tp_axis=axis,
                 )
+                if not final:
+                    return jnp.int32(-1), caches
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, keepdims=False
                 )
@@ -368,10 +377,21 @@ class Engine:
         cs = self.ecfg.chunk_size
         chunk = req.prompt[done : done + cs]
         true_n = len(chunk)
+        final = done + true_n >= len(req.prompt)
         toks = np.zeros((1, cs), np.int32)
         toks[0, :true_n] = chunk
-        self._key, sub = jax.random.split(self._key)
-        tok_dev, self.caches = self._chunk_fn(cs)(
+        # static prefix-page bound for this chunk, bucketed to powers of two
+        # (≤ log2 variants per chunk size compile over a prompt's lifetime)
+        need = max(1, -(-done // self.ccfg.page_size))
+        pb = 1
+        while pb < need:
+            pb *= 2
+        pb = min(pb, self.ccfg.max_pages_per_seq)
+        if final:
+            self._key, sub = jax.random.split(self._key)
+        else:
+            sub = self._key  # unused by the non-final variant
+        tok_dev, self.caches = self._chunk_fn(cs, pb, final)(
             self.params, self.caches, jnp.asarray(toks), jnp.int32(done),
             jnp.int32(true_n), jnp.int32(slot),
             jnp.float32(req.temperature), sub,
