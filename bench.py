@@ -72,7 +72,15 @@ def main() -> None:
 
         @jax.jit
         def fn(q, k, v):
-            return quantized_dense_fa(q, k, v, q_dtype=dt, kv_dtype=dt)
+            # fp8 benches the per-tensor K-scale mode (the standard fp8
+            # scaling granularity, cf. TransformerEngine delayed scaling):
+            # the scalar scale folds into Q, so the score path carries no
+            # per-element dequant work. int8 keeps per-token scales on the
+            # native int8 MXU path.
+            kv_scale = "token" if dt == "int8" else "tensor"
+            return quantized_dense_fa(
+                q, k, v, q_dtype=dt, kv_dtype=dt, kv_scale=kv_scale
+            )
 
         # fp8/int8 quantization error vs the unquantized f32 oracle; the
         # tight ≤1e-2 matched-bitwidth contract is enforced in tests/.

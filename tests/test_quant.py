@@ -49,6 +49,27 @@ def test_quantized_dense_matches_matched_oracle(rng, q_dtype, kv_dtype):
     assert err <= bound, f"max-abs {err} vs matched oracle"
 
 
+@pytest.mark.parametrize("q_dtype", ["float8_e4m3fn", None])
+def test_quantized_dense_tensor_scale_matches_matched_oracle(rng, q_dtype):
+    """kv_scale='tensor' (per-(batch,head) K scale folded into Q) must meet
+    the same ≤1e-2 bound vs an oracle quantized at the SAME granularity."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _qkv(rng, b, h, n, d)
+    scale = 1.0 / np.sqrt(d)
+    dt = "float8_e4m3fn"
+    o = flash_q.quantized_dense_fa(q, k, v, q_dtype=q_dtype, kv_dtype=dt,
+                                   kv_scale="tensor", **_BLK)
+    qf = q * scale
+    if q_dtype is not None:
+        qf = qarray.dequantize(qarray.quantize(qf, q_dtype, axis=-1))
+    kf = qarray.dequantize(qarray.quantize(k.astype(jnp.float32), dt, axis=(-2, -1)))
+    vf = qarray.dequantize(qarray.quantize(v.astype(jnp.float32), dt, axis=-2))
+    ref = oracle.dense_dpa(qf, kf, vf, scale=1.0)[0]
+    err = float(jnp.max(jnp.abs(o - ref)))
+    bound = 1e-2 if q_dtype is not None else 2e-2
+    assert err <= bound, f"max-abs {err} vs matched oracle"
+
+
 def test_quantized_vs_f32_oracle_int8(rng):
     """End-to-end quantization error vs the TRUE f32 oracle stays ≤1e-2 for
     unit-scale inputs (the north-star bound at matched bit-width is checked

@@ -53,10 +53,12 @@ class QArray:
         return self.values.dtype
 
 
-def quantize(x: jnp.ndarray, dtype, axis: int = -1) -> QArray:
+def quantize(x: jnp.ndarray, dtype, axis=-1) -> QArray:
     """Symmetric max-abs quantization of ``x`` along ``axis``.
 
-    axis=-1 → per-token (one scale per row); axis=-2 → per-channel.
+    axis=-1 → per-token (one scale per row); axis=-2 → per-channel;
+    a tuple (e.g. ``(-2, -1)``) reduces over several dims — per-tensor
+    granularity per leading index, the usual fp8 scaling mode.
     """
     dtype = jnp.dtype(dtype)
     qmax = QMAX[dtype]
