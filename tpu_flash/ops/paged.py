@@ -35,6 +35,8 @@ from tpu_flash.ops.schedule import cdiv
 _LANES = 128
 _NT = (((1,), (1,)), ((), ()))
 _NN = (((1,), (0,)), ((), ()))
+# per-array VMEM budget for keeping quantization scales grid-resident
+_RESIDENT_SCALES_BYTES = 2 * 1024 * 1024
 
 
 def _encode_row(x, *, quantized: bool, int4: bool, out_dtype):
@@ -63,6 +65,7 @@ def _paged_kernel(
     head_dim: int,
     append: bool,
     want_lse: bool,
+    resident_scales: bool,
 ):
     if append:
         (lens_ref, pt_ref, start_ref, tpage_ref, off_ref, q_ref, k_ref,
@@ -103,6 +106,23 @@ def _paged_kernel(
     page_idx = start_pg + i
     num_pages = pl.cdiv(length, page) - start_pg
 
+    if quantized and resident_scales:
+        # Scales live whole-array in VMEM (constant index map → fetched
+        # once for the entire grid); slice this step's physical page here.
+        # Streaming them as per-page blocks added two ~256 B DMAs to every
+        # grid step — at decode's tiny per-step compute the step count is
+        # the cost, and this pays for a large share of it (measured ~20%
+        # off the int8 decode attention stack).
+        np_b = jnp.maximum(pl.cdiv(length, page), 1)
+        phys = pt_ref[b, jnp.clip(page_idx, 0, np_b - 1)]
+        ks_blk = ks_ref[:, pl.ds(phys, 1)]  # (kvh, 1, 1, page)
+        vs_blk = vs_ref[:, pl.ds(phys, 1)]
+    elif quantized:
+        ks_blk = ks_ref[...]
+        vs_blk = vs_ref[...]
+    else:
+        ks_blk = vs_blk = None
+
     if append:
         # Fused append: the target page is being read for attention anyway,
         # so the new token's row is merged in-register and written back
@@ -139,8 +159,8 @@ def _paged_kernel(
             col_hit = (
                 lax.broadcasted_iota(jnp.int32, (1, 1, 1, page), 3) == off
             ) & is_target
-            ks_m = jnp.where(col_hit, ksc[:, :, None, None], ks_ref[...])
-            vs_m = jnp.where(col_hit, vsc[:, :, None, None], vs_ref[...])
+            ks_m = jnp.where(col_hit, ksc[:, :, None, None], ks_blk)
+            vs_m = jnp.where(col_hit, vsc[:, :, None, None], vs_blk)
 
         @pl.when(is_target)
         def _write_target_page():
@@ -183,7 +203,7 @@ def _paged_kernel(
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            s = s * (ks_m[:, 0] if append else ks_ref[:, 0])  # (kvh, 1, page)
+            s = s * (ks_m[:, 0] if append else ks_blk[:, 0])  # (kvh, 1, page)
         # mask outside [start, length) — beyond-length tail of the last
         # page, and (for banded decode) pre-window head of the first page
         k_pos = page_idx * page + lax.broadcasted_iota(
@@ -201,7 +221,7 @@ def _paged_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         if quantized:
-            p = p * (vs_m[:, 0] if append else vs_ref[:, 0])  # (kvh, 1, page)
+            p = p * (vs_m[:, 0] if append else vs_blk[:, 0])  # (kvh, 1, page)
         # (kvh, G, page) x (kvh, page, stor) -> (kvh, G, stor)
         pv = lax.dot_general(
             p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
@@ -474,10 +494,24 @@ def paged_attention(
     scalars = [lengths, page_tables, start]
     if append:
         scalars += [pos // page, pos % page]
+    # Small scale arrays stay whole in VMEM (constant index map → one fetch
+    # for the whole grid) instead of adding two tiny DMAs per page step —
+    # decode is step-overhead-bound, not bytes-bound. Large pools fall back
+    # to streaming per-page scale blocks.
+    resident_scales = (
+        quantized and cache.k_scales.nbytes <= _RESIDENT_SCALES_BYTES
+    )
     if quantized:
         # Scales ride as (kvh, pages, 1, page) so the block's trailing dims
         # (1, page) satisfy the TPU (8,128)-or-full-dim tiling rule.
-        in_specs += [sc_spec, sc_spec]
+        if resident_scales:
+            full_sc = pl.BlockSpec(
+                (cache.k_scales.shape[0], cache.k_scales.shape[1], 1, page),
+                lambda bi, i, *_: (0, 0, 0, 0),
+            )
+            in_specs += [full_sc, full_sc]
+        else:
+            in_specs += [sc_spec, sc_spec]
         kvh_, tp_, pg_ = cache.k_scales.shape
         sc4 = (kvh_, tp_, 1, pg_)
         inputs += [
@@ -546,6 +580,7 @@ def paged_attention(
         head_dim=d,
         append=append,
         want_lse=return_lse,
+        resident_scales=resident_scales,
     )
     outs = pl.pallas_call(
         kernel,
