@@ -112,9 +112,10 @@ def suite_attention(quick: bool) -> list[dict]:
             quantized_flash_attention, q_dtype="int8", kv_dtype="int8")), 1.0
 
     def q_fp8(n, d):
+        # per-tensor K scale — the shipped fp8 fast path (see flash_q)
         return jax.jit(functools.partial(
             quantized_flash_attention, q_dtype="float8_e4m3fn",
-            kv_dtype="float8_e4m3fn")), 1.0
+            kv_dtype="float8_e4m3fn", kv_scale="tensor")), 1.0
 
     cases = [("dense", dense, "bf16"), ("causal", causal, "bf16"),
              ("sliding", sliding, "bf16"), ("circulant", circulant, "bf16"),
