@@ -102,6 +102,59 @@ def test_merge_partials_handles_empty():
     np.testing.assert_allclose(ml, lse)
 
 
+@pytest.mark.parametrize("dtypes", [
+    ("int8", "int8"), ("float8_e4m3fn", "float8_e4m3fn"), (None, "int8"),
+])
+@pytest.mark.parametrize("pattern", ["causal", "local"])
+def test_ring_quantized(rng, seq_mesh, dtypes, pattern):
+    """Quantized ring (K/V quantized once per shard, int8/fp8 bytes rotate)
+    matches the f32 oracle within the quantization tolerance."""
+    q_dtype, kv_dtype = dtypes
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    radius = 200 if pattern == "local" else 0
+    fn = ring_dense_fa(
+        seq_mesh, pattern=pattern, radius=radius,
+        q_dtype=q_dtype, kv_dtype=kv_dtype, **_BLK,
+    )
+    o = np.asarray(fn(q, k, v)).astype(np.float32)
+    if pattern == "causal":
+        o_ref, _ = oracle.dense_dpa(q, k, v, causal=True)
+    else:
+        o_ref, _ = oracle.sliding_dpa(q, k, v, 2 * radius + 1)
+    # quantization tolerance vs the UNQUANTIZED f32 oracle (the
+    # matched-bitwidth ≤1e-2 contract is covered by test_quant; here the
+    # comparison includes the quantization error itself). e4m3 has ~6%
+    # relative grid spacing → looser bound than int8's per-token /127.
+    tol = 0.2 if kv_dtype.startswith("float8") else 0.06
+    assert np.max(np.abs(o - np.asarray(o_ref))) <= tol
+
+
+def test_ring_quantized_permute_bytes(rng, seq_mesh):
+    """The quantized ring must rotate int8 K/V values (not bf16): the
+    jaxpr's ppermute operands carry the quantized dtype."""
+    from tpu_flash.parallel.ring import ring_attention
+    from jax.sharding import PartitionSpec as P
+
+    q, k, v = _qkv(rng, 1, 1, 1024, 32)
+
+    def local(q, k, v):
+        return ring_attention(
+            q, k, v, "seq", pattern="causal", q_dtype="int8",
+            kv_dtype="int8", **_BLK,
+        )
+
+    f = jax.shard_map(
+        local, mesh=seq_mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None),
+        check_vma=False,
+    )
+    txt = str(jax.make_jaxpr(f)(q, k, v))
+    assert "ppermute" in txt
+    # the rotated K values are int8 at the shard shape (128 = 1024/8)
+    assert "i8[1,1,128,32]" in txt
+
+
 def test_hop_skipping_is_static(rng, seq_mesh):
     """Banded ring with a small radius must trace strictly fewer pallas
     calls than the dense ring (hops statically skipped)."""

@@ -1,0 +1,96 @@
+"""Serving-mode attention (pre-quantized K/V, in-kernel Q quantize) vs the
+f32 oracle and the activation-quant kernel family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.ops import oracle
+from tpu_flash.quant.qarray import dequantize
+from tpu_flash.quant.serving_attn import (
+    quantize_kv_cache,
+    serving_flash_attention,
+)
+
+_BLK = dict(block_q=128, block_kv=128)
+
+
+def _qkv(rng, b, h, n, d, hkv=None):
+    hkv = h if hkv is None else hkv
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, n, d)), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("q_dtype,kv_dtype,kv_scale,tol", [
+    ("int8", "int8", "token", 0.06),
+    ("float8_e4m3fn", "float8_e4m3fn", "token", 0.2),
+    ("float8_e4m3fn", "float8_e4m3fn", "tensor", 0.25),
+    (None, "int8", "token", 0.05),           # weight-only
+])
+def test_serving_vs_oracle(rng, q_dtype, kv_dtype, kv_scale, tol):
+    q, k, v = _qkv(rng, 1, 2, 384, 64)
+    kq, vq = quantize_kv_cache(k, v, kv_dtype, kv_scale=kv_scale)
+    o = serving_flash_attention(q, kq, vq, q_dtype=q_dtype, **_BLK)
+    o_ref, _ = oracle.dense_dpa(q, k, v)
+    err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
+    assert err <= tol, err
+
+
+def test_serving_matched_bitwidth_contract(rng):
+    """≤1e-2 max-abs vs the f32 oracle evaluated on the DEQUANTIZED
+    inputs (BASELINE.md contract), int8 path."""
+    q, k, v = _qkv(rng, 1, 2, 256, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8", kv_scale="token")
+    o = serving_flash_attention(q, kq, vq, q_dtype="int8", **_BLK)
+    # dequantized-input oracle; Q dequantized the way the kernel rounds it
+    qs = jnp.max(jnp.abs(q), axis=-1, keepdims=True) / 127.0
+    q_deq = jnp.clip(jnp.round(q / qs), -127, 127) * qs
+    kd = dequantize(kq).reshape(k.shape)
+    vd = dequantize(vq).reshape(v.shape)
+    o_ref, _ = oracle.dense_dpa(q_deq, kd, vd)
+    err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
+    assert err <= 1e-2, err
+
+
+def test_serving_causal_and_gqa(rng):
+    q, k, v = _qkv(rng, 1, 4, 384, 64, hkv=2)
+    kq, vq = quantize_kv_cache(k, v, "int8")
+    o = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", schedule="causal", **_BLK
+    )
+    o_ref, _ = oracle.dense_dpa(
+        q, jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1), causal=True
+    )
+    err = float(jnp.max(jnp.abs(o.astype(jnp.float32) - o_ref)))
+    assert err <= 0.06, err
+
+
+def test_serving_matches_flash_q(rng):
+    """In-kernel Q quantization ≈ the outside-kernel activation-quant path
+    (same grids, same scale algebra — only float-rounding order differs)."""
+    from tpu_flash.quant.flash_q import quantized_flash_attention
+
+    q, k, v = _qkv(rng, 1, 2, 256, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8", kv_scale="token")
+    o1 = serving_flash_attention(q, kq, vq, q_dtype="int8", **_BLK)
+    o2 = quantized_flash_attention(
+        q, k, v, q_dtype="int8", kv_dtype="int8", **_BLK
+    )
+    err = float(jnp.max(jnp.abs(o1.astype(jnp.float32)
+                                - o2.astype(jnp.float32))))
+    assert err <= 2e-2, err
+
+
+def test_serving_lse_matches_unquantized(rng):
+    q, k, v = _qkv(rng, 1, 1, 256, 32)
+    kq, vq = quantize_kv_cache(k, v, "int8", kv_scale="token")
+    o, lse = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", return_lse=True, **_BLK
+    )
+    _, lse_ref = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(lse_ref), atol=0.05, rtol=0.01
+    )

@@ -161,16 +161,17 @@ class PageAllocator:
         if self._lib is not None:
             buf = (ctypes.c_int32 * len(pages))(*pages.tolist())
             return self._lib.pp_restore(self._h, slot, buf, len(pages)) == 0
+        taken = set(pages.tolist())
         if (
             slot < 0
             or slot >= self.max_seqs
             or self._active[slot]
             or len(pages) > self.max_pages_per_seq
-            or len(set(pages.tolist())) != len(pages)
-            or not set(pages.tolist()) <= set(self._free)
+            or len(taken) != len(pages)
+            or not taken <= set(self._free)
         ):
             return False
-        self._free = [p for p in self._free if p not in set(pages.tolist())]
+        self._free = [p for p in self._free if p not in taken]
         self._tables[slot] = list(pages.tolist())
         self._active[slot] = True
         return True

@@ -109,6 +109,24 @@ class Schedule:
             return None
         return k_pos < self.kv_len
 
+    def block_unmasked(self, i, s):
+        """Traced bool: the (i, s) tile has NO masked element, so the kernel
+        may skip the iota/compare/where entirely (interior-block fast path —
+        on band schedules most visited tiles are interior, and paying the
+        full elementwise mask on them was the main reason sparse speedup
+        lagged coverage). ``None`` means "cannot cheaply decide; always
+        mask". Conservative (may say False for an unmasked tile), never
+        wrong the other way."""
+        if not self.has_mask:
+            return None
+        return self._kv_pad_ok(self.kv_block_index(i, s))
+
+    def _kv_pad_ok(self, kv_idx):
+        """Tile at kv block ``kv_idx`` lies fully inside the real kv range."""
+        if self.kv_len % self.block_kv == 0:
+            return True
+        return (kv_idx + 1) * self.block_kv <= self.kv_len
+
     def _and_kv_pad(self, m, k_pos):
         if self.kv_len % self.block_kv != 0:
             m = jnp.logical_and(m, k_pos < self.kv_len)
@@ -167,6 +185,14 @@ class CausalSchedule(Schedule):
     def mask(self, q_pos, k_pos):
         return self._and_kv_pad(k_pos <= q_pos + self._offset, k_pos)
 
+    def block_unmasked(self, i, s):
+        # Every key of the tile visible to every *real* query of the tile:
+        # k_hi ≤ q_lo + offset (padded q rows are sliced off, so only the
+        # real-row condition matters).
+        j = self.kv_block_index(i, s)
+        full = (j + 1) * self.block_kv - 1 <= i * self.block_q + self._offset
+        return jnp.logical_and(full, self._kv_pad_ok(j))
+
 
 @dataclasses.dataclass(frozen=True)
 class LocalSchedule(Schedule):
@@ -192,8 +218,20 @@ class LocalSchedule(Schedule):
 
     @property
     def max_kv_steps(self) -> int:
-        span = self.block_q + 2 * self.radius
-        return min(self.num_kv_blocks, cdiv(span, self.block_kv) + 1)
+        # Exact (not the cdiv(span)+1 bound): all quantities are Python
+        # ints, so evaluate the per-block first/last formulas directly.
+        # The slack "+1" bound cost a pure-bubble grid step per Q block
+        # whenever the band happened to be block-aligned (25% of the grid
+        # at bq=bkv=radius — VERDICT r1 item 3).
+        best = 1
+        for i in range(self.num_q_blocks):
+            first = max(0, (i * self.block_q - self.radius) // self.block_kv)
+            last_q = min((i + 1) * self.block_q - 1, self.n_q - 1)
+            last = min(
+                self.num_kv_blocks - 1, (last_q + self.radius) // self.block_kv
+            )
+            best = max(best, last - first + 1)
+        return best
 
     def kv_block_index(self, i, s):
         return jnp.minimum(self._first_step(i) + s, self._last_block(i))
@@ -214,8 +252,17 @@ class LocalSchedule(Schedule):
 
     @property
     def max_q_steps(self) -> int:
-        span = self.block_kv + (self.radius if self.causal else 2 * self.radius)
-        return min(self.num_q_blocks, cdiv(span, self.block_q) + 1)
+        best = 1
+        for j in range(self.num_kv_blocks):
+            if self.causal:
+                lo = j * self.block_kv
+            else:
+                lo = j * self.block_kv - self.radius
+            first = min(max(lo // self.block_q, 0), self.num_q_blocks - 1)
+            hi = (j + 1) * self.block_kv - 1 + self.radius
+            last = min(self.num_q_blocks - 1, hi // self.block_q)
+            best = max(best, last - first + 1)
+        return best
 
     def q_block_index(self, j, s):
         return jnp.minimum(self._first_q_block(j) + s, self._last_q_block(j))
@@ -232,6 +279,21 @@ class LocalSchedule(Schedule):
         if self.causal:
             m = jnp.logical_and(m, k_pos <= q_pos)
         return self._and_kv_pad(m, k_pos)
+
+    def block_unmasked(self, i, s):
+        # Tile fully inside the band: max |q − k| over the tile ≤ radius,
+        # i.e. k_hi − q_lo ≤ r and q_hi − k_lo ≤ r (real q rows only).
+        j = self.kv_block_index(i, s)
+        q_lo = i * self.block_q
+        q_hi = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1)
+        k_lo = j * self.block_kv
+        k_hi = (j + 1) * self.block_kv - 1
+        full = jnp.logical_and(
+            k_hi - q_lo <= self.radius, q_hi - k_lo <= self.radius
+        )
+        if self.causal:
+            full = jnp.logical_and(full, k_hi <= q_lo)
+        return jnp.logical_and(full, self._kv_pad_ok(j))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -344,6 +406,37 @@ class ShiftedMaskSchedule(Schedule):
             m = jnp.ones(q_pos.shape, bool)
         return self._and_kv_pad(m, k_pos)
 
+    def block_unmasked(self, i, s):
+        j = self.kv_block_index(i, s)
+        q_lo = i * self.block_q + self.shift
+        q_hi = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1) + self.shift
+        k_lo = j * self.block_kv
+        k_hi = (j + 1) * self.block_kv - 1
+        full = self._kv_pad_ok(j)
+        if isinstance(full, bool):
+            full = jnp.asarray(full)
+        if self.radius >= 0:
+            if self.wrap_n > 0:
+                # The tile's delta interval is [k_lo − q_hi, k_hi − q_lo]
+                # (width bq+bkv−2); it lies inside the wrapped band
+                # [−r, r] (mod wrap_n) iff shifting its low end to the
+                # band's start keeps the whole width inside the band.
+                lo = k_lo - q_hi
+                width = (k_hi - k_lo) + (q_hi - q_lo)
+                inside = jnp.mod(lo + self.radius, self.wrap_n) + width \
+                    <= 2 * self.radius
+                full = jnp.logical_and(full, inside)
+            else:
+                full = jnp.logical_and(
+                    full,
+                    jnp.logical_and(
+                        k_hi - q_lo <= self.radius, q_hi - k_lo <= self.radius
+                    ),
+                )
+        if self.causal:
+            full = jnp.logical_and(full, k_hi <= q_lo)
+        return full
+
 
 @dataclasses.dataclass(frozen=True)
 class CirculantSchedule(Schedule):
@@ -379,8 +472,17 @@ class CirculantSchedule(Schedule):
 
     @property
     def max_kv_steps(self) -> int:
-        span = self.block_q + 2 * self.radius
-        return min(self.num_kv_blocks, cdiv(span, self.block_kv) + 1)
+        # exact — see LocalSchedule.max_kv_steps
+        best = 1
+        for i in range(self.num_q_blocks):
+            first = (i * self.block_q) // self.block_kv
+            last_q = min((i + 1) * self.block_q - 1, self.n_q - 1)
+            last = min(
+                self.num_kv_blocks - 1,
+                (last_q + 2 * self.radius) // self.block_kv,
+            )
+            best = max(best, last - first + 1)
+        return best
 
     def kv_block_index(self, i, s):
         return jnp.minimum(self._first_step(i) + s, self._last_block(i))
@@ -402,8 +504,18 @@ class CirculantSchedule(Schedule):
 
     @property
     def max_q_steps(self) -> int:
-        span = self.block_kv + 2 * self.radius
-        return min(self.num_q_blocks, cdiv(span, self.block_q) + 1)
+        best = 1
+        for j in range(self.num_kv_blocks):
+            first = min(
+                max((j * self.block_kv - 2 * self.radius) // self.block_q, 0),
+                self.num_q_blocks - 1,
+            )
+            last = min(
+                max(((j + 1) * self.block_kv - 1) // self.block_q, 0),
+                self.num_q_blocks - 1,
+            )
+            best = max(best, last - first + 1)
+        return best
 
     def q_block_index(self, j, s):
         return jnp.minimum(self._first_q_block(j) + s, self._last_q_block(j))
@@ -419,3 +531,14 @@ class CirculantSchedule(Schedule):
         delta = k_pos - q_pos
         m = jnp.logical_and(delta >= 0, delta <= 2 * self.radius)
         return self._and_kv_pad(m, k_pos)
+
+    def block_unmasked(self, i, s):
+        # Extended-coordinate band: delta = k − q ∈ [0, 2r] for the whole
+        # tile ⟺ k_lo ≥ q_hi and k_hi − q_lo ≤ 2r (real q rows only).
+        j = self.kv_block_index(i, s)
+        q_lo = i * self.block_q
+        q_hi = jnp.minimum((i + 1) * self.block_q - 1, self.n_q - 1)
+        k_lo = j * self.block_kv
+        k_hi = (j + 1) * self.block_kv - 1
+        full = jnp.logical_and(k_lo >= q_hi, k_hi - q_lo <= 2 * self.radius)
+        return jnp.logical_and(full, self._kv_pad_ok(j))

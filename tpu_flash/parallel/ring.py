@@ -54,14 +54,6 @@ def merge_partials(o1, lse1, o2, lse2):
     return o, lse
 
 
-def _empty_partial(q, dv):
-    b, h, n, _ = q.shape
-    return (
-        jnp.zeros((b, h, n, dv), jnp.float32),
-        jnp.full((b, h, n), _NEG_INF, jnp.float32),
-    )
-
-
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -75,6 +67,8 @@ def ring_attention(
     block_q: int = 512,
     block_kv: int = 512,
     interpret: Optional[bool] = None,
+    q_dtype=None,
+    kv_dtype=None,
 ):
     """Exact attention with K/V rotating around ``axis_name``.
 
@@ -82,6 +76,14 @@ def ring_attention(
     of a global sequence of length ``P·Nl`` sharded over the axis.
     ``radius`` is the band radius for local/circulant. Returns the local
     output shard (input dtype).
+
+    ``kv_dtype`` (int8 / fp8) turns on the quantized ring: each shard's
+    K/V are quantized ONCE before the hop loop (per-token K, per-channel V
+    — shard-local scales travel with their values), the ring rotates
+    int8/fp8 bytes (half the bf16 ICI traffic), and every hop runs the
+    quantized kernel with no per-hop quantize pass. ``q_dtype`` optionally
+    quantizes Q too (int8 MXU path / fp8 grid). Quantized mode is
+    inference-only (no VJP).
     """
     p = lax.axis_size(axis_name)
     didx = lax.axis_index(axis_name)
@@ -90,8 +92,39 @@ def ring_attention(
     n_total = p * nl if seq_len is None else seq_len
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    kw = dict(scale=scale, block_q=block_q, block_kv=block_kv,
-              return_lse=True, interpret=interpret)
+
+    if kv_dtype is not None:
+        from tpu_flash.quant.flash_q import (
+            QArray,
+            prepare_ring_operands,
+            quantized_flash_attention_prequant,
+        )
+
+        q_in, kq, vq = prepare_ring_operands(
+            q, k, v, q_dtype=q_dtype, kv_dtype=kv_dtype, scale=scale
+        )
+        kv0 = (kq.values, kq.scales, vq.values, vq.scales)
+
+        def attend(qh, kvh, **skw):
+            kqh = QArray(values=kvh[0], scales=kvh[1], axis=-1)
+            vqh = QArray(values=kvh[2], scales=kvh[3], axis=-2)
+            return quantized_flash_attention_prequant(
+                qh, kqh, vqh, block_q=block_q, block_kv=block_kv,
+                return_lse=True, interpret=interpret, out_dtype=q.dtype,
+                **skw,
+            )
+    elif q_dtype is not None:
+        raise ValueError("q_dtype requires kv_dtype (quantized ring mode)")
+    else:
+        q_in = q
+        kv0 = (k, v)
+
+        def attend(qh, kvh, **skw):
+            return flash.flash_attention(
+                qh, kvh[0], kvh[1], scale=scale, block_q=block_q,
+                block_kv=block_kv, return_lse=True, interpret=interpret,
+                **skw,
+            )
 
     def hop_needed_static(t: int) -> bool:
         """Can hop t's shard intersect the band for ANY device?"""
@@ -105,82 +138,95 @@ def ring_attention(
         # local: forward offset t·Nl or backward (p−t)·Nl
         return t * nl <= span or (t != 0 and (p - t) * nl <= span)
 
-    def hop_attention(qh, kh, vh, t: int):
+    def hop_attention(qh, kvh, t: int):
         """Partial attention for hop t. Static masks; one cond for wrap."""
         fwd_shift = t * nl          # source = didx − t (no wrap)
         bwd_shift = (t - p) * nl    # source wrapped past 0
 
         if pattern == "dense":
-            o, lse = flash.flash_attention(qh, kh, vh, schedule="dense", **kw)
+            o, lse = attend(qh, kvh, schedule="dense")
             return o.astype(jnp.float32), lse
 
         if pattern == "circulant":
             # offset is static mod n_total — single static branch.
-            o, lse = flash.flash_attention(
-                qh, kh, vh, schedule="shifted", shift=fwd_shift % n_total,
-                radius=radius, wrap_n=n_total, **kw,
+            o, lse = attend(
+                qh, kvh, schedule="shifted", shift=fwd_shift % n_total,
+                radius=radius, wrap_n=n_total,
             )
             return o.astype(jnp.float32), lse
 
         if pattern == "causal":
             if t == 0:
-                o, lse = flash.flash_attention(qh, kh, vh, schedule="causal", **kw)
+                o, lse = attend(qh, kvh, schedule="causal")
                 return o.astype(jnp.float32), lse
 
             def fwd_branch(args):
-                qh, kh, vh = args
-                o, lse = flash.flash_attention(qh, kh, vh, schedule="dense", **kw)
+                qh, kvh = args
+                o, lse = attend(qh, kvh, schedule="dense")
                 return o.astype(jnp.float32), lse
 
             def skip_branch(args):
-                qh, _, _ = args
-                return _empty_partial(qh, dv)
+                qh, _ = args
+                return _empty_partial_nl(dv)
 
-            return lax.cond(didx >= t, fwd_branch, skip_branch, (qh, kh, vh))
+            return lax.cond(didx >= t, fwd_branch, skip_branch, (qh, kvh))
 
         if pattern == "local":
             span = radius + nl - 1
 
             def banded(shift):
                 def f(args):
-                    qh, kh, vh = args
-                    o, lse = flash.flash_attention(
-                        qh, kh, vh, schedule="shifted", shift=shift,
-                        radius=radius, **kw,
+                    qh, kvh = args
+                    o, lse = attend(
+                        qh, kvh, schedule="shifted", shift=shift,
+                        radius=radius,
                     )
                     return o.astype(jnp.float32), lse
 
                 return f
 
             def skip_branch(args):
-                qh, _, _ = args
-                return _empty_partial(qh, dv)
+                qh, _ = args
+                return _empty_partial_nl(dv)
 
             fwd_possible = t * nl <= span
             bwd_possible = t != 0 and (p - t) * nl <= span
             if t == 0:
-                return banded(0)((qh, kh, vh))
+                return banded(0)((qh, kvh))
             if fwd_possible and bwd_possible:
                 return lax.cond(
-                    didx >= t, banded(fwd_shift), banded(bwd_shift), (qh, kh, vh)
+                    didx >= t, banded(fwd_shift), banded(bwd_shift), (qh, kvh)
                 )
             if fwd_possible:
-                return lax.cond(didx >= t, banded(fwd_shift), skip_branch, (qh, kh, vh))
+                return lax.cond(didx >= t, banded(fwd_shift), skip_branch, (qh, kvh))
             if bwd_possible:
-                return lax.cond(didx < t, banded(bwd_shift), skip_branch, (qh, kh, vh))
-            return _empty_partial(qh, dv)
+                return lax.cond(didx < t, banded(bwd_shift), skip_branch, (qh, kvh))
+            return _empty_partial_nl(dv)
 
         raise ValueError(f"unknown ring pattern {pattern!r}")
 
+    def _empty_partial_nl(dv):
+        return (
+            jnp.zeros((b, h, nl, dv), jnp.float32),
+            jnp.full((b, h, nl), _NEG_INF, jnp.float32),
+        )
+
     perm = [(i, (i + 1) % p) for i in range(p)]
-    acc_o, acc_lse = _empty_partial(q, dv)
-    kv = (k, v)
+    acc_o, acc_lse = _empty_partial_nl(dv)
+    kv = kv0
     for t in range(p):
+        # Communication/compute overlap: issue hop t+1's rotation BEFORE
+        # hop t's attention. kv_next has no data dependency on the hop's
+        # kernel, so XLA's async collectives (collective-permute-start /
+        # -done) run the ICI transfer underneath the Pallas compute instead
+        # of strictly alternating with it (VERDICT r1 item 5; SURVEY §7
+        # "ring overlap" hard part). The permute only *reads* the local
+        # shard, so sending while computing on it is safe.
+        kv_next = lax.ppermute(kv, axis_name, perm) if t < p - 1 else None
         if hop_needed_static(t):
-            o_t, lse_t = hop_attention(q, kv[0], kv[1], t)
+            o_t, lse_t = hop_attention(q_in, kv, t)
             acc_o, acc_lse = merge_partials(acc_o, acc_lse, o_t, lse_t)
-        if t < p - 1:
-            kv = lax.ppermute(kv, axis_name, perm)
+        kv = kv_next
     return acc_o.astype(q.dtype)
 
 
@@ -194,6 +240,8 @@ def ring_dense_fa(
     block_q: int = 512,
     block_kv: int = 512,
     interpret: Optional[bool] = None,
+    q_dtype=None,
+    kv_dtype=None,
 ):
     """Build a jitted sequence-sharded attention fn over ``mesh``.
 
@@ -215,6 +263,7 @@ def ring_dense_fa(
         return ring_attention(
             q, k, v, axis_name, pattern=pattern, radius=radius, scale=scale,
             block_q=block_q, block_kv=block_kv, interpret=interpret,
+            q_dtype=q_dtype, kv_dtype=kv_dtype,
         )
 
     fn = jax.shard_map(

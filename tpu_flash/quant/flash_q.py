@@ -103,6 +103,7 @@ def _q_fwd_kernel(
     q_quant: bool,
     v_quant: bool,
     k_scaled: bool,
+    need_lse: bool = True,
 ):
     if q_quant:
         (q_ref, k_ref, v_ref, sq_ref, sk_ref, *rest) = refs
@@ -161,33 +162,50 @@ def _q_fwd_kernel(
             )
             sij = raw * sk_row if k_scaled else raw
 
-        if sched.has_mask:
+        def _apply_mask(sij):
             kv_idx = sched.kv_block_index(i, s)
             q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
             k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
             mask = sched.mask(q_pos, k_pos)
             if mask is not None:
                 sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+            return sij
 
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_curr = jnp.max(sij, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(sij - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        def _update(sij):
+            m_prev = m_scr[:, :1]
+            l_prev = l_scr[:, :1]
+            m_curr = jnp.max(sij, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(sij - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
-        v = v_ref[0]
-        vf = _to_bf16(v) if v_quant else v
-        pv = lax.dot_general(
-            p.astype(jnp.bfloat16),
-            vf,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+            v = v_ref[0]
+            vf = _to_bf16(v) if v_quant else v
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16),
+                vf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+
+        unm = sched.block_unmasked(i, s) if sched.has_mask else None
+        if not sched.has_mask or unm is True:
+            _update(sij)
+        elif unm is None:
+            _update(_apply_mask(sij))
+        else:
+            # interior-block fast path — see ops/flash.py _fwd_kernel
+            @pl.when(unm)
+            def _unmasked():
+                _update(sij)
+
+            @pl.when(jnp.logical_not(unm))
+            def _masked():
+                _update(_apply_mask(sij))
 
     @pl.when(s == num_steps - 1)
     def _finish():
@@ -201,9 +219,12 @@ def _q_fwd_kernel(
             sv_row = sv_ref[0, 0].reshape(1, -1)  # per-channel (1, dv)
             acc = acc * sv_row
         o_ref[0] = acc.astype(o_ref.dtype)
-        lse = jnp.where(valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
-                        -jnp.inf)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        if need_lse:
+            # skipped when discarded — see ops/flash.py _fwd_kernel
+            lse = jnp.where(
+                valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)), -jnp.inf
+            )
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _quantized_fwd(
@@ -218,6 +239,7 @@ def _quantized_fwd(
     hq: int = 1,
     hkv: int = 1,
     k_scaled: bool = True,
+    need_lse: bool = True,
 ):
     q_quant = qq is not None
     v_quant = isinstance(vq, QArray)
@@ -265,18 +287,25 @@ def _quantized_fwd(
         q_quant=q_quant,
         v_quant=v_quant,
         k_scaled=k_scaled,
+        need_lse=need_lse,
     )
+    if need_lse:
+        lse_spec = pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32)
+    else:
+        lse_spec = pl.BlockSpec((1, 1, _LANES), lambda b, i, s: (b, 0, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, dv), lambda b, i, s: (b, i, 0)),
-            pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0)),
+            lse_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq_pad, dv), out_dtype),
-            jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32),
+            lse_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -288,6 +317,8 @@ def _quantized_fwd(
         ),
         interpret=interpret,
     )(*inputs)
+    if not need_lse:
+        return o, jnp.zeros((bh, nq_pad), jnp.float32)
     return o, lse[..., 0]
 
 
@@ -310,6 +341,9 @@ def quantized_flash_attention(
     scale: Optional[float] = None,
     radius: int = 0,
     section: int = 0,
+    shift: int = 0,
+    wrap_n: int = 0,
+    shifted_causal: bool = False,
     block_q: int = 1024,
     block_kv: int = 2048,
     kv_scale: str = "token",
@@ -359,10 +393,10 @@ def quantized_flash_attention(
         kf = jnp.concatenate([kf[:, -radius:], kf, kf[:, :radius]], axis=1)
         vf = jnp.concatenate([vf[:, -radius:], vf, vf[:, :radius]], axis=1)
 
-    if schedule == "shifted":
-        raise NotImplementedError("quantized shifted schedule")
     sched = build_schedule(
-        schedule, n_q, n_kv, block_q, block_kv, radius=radius, section=section
+        schedule, n_q, n_kv, block_q, block_kv, radius=radius,
+        section=section, shift=shift, wrap_n=wrap_n,
+        shifted_causal=shifted_causal,
     )
 
     if kv_scale not in ("token", "tensor"):
@@ -428,15 +462,137 @@ def quantized_flash_attention(
 
     o, lse = _quantized_fwd(
         qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype,
-        hq=h, hkv=hkv, k_scaled=k_scaled,
+        hq=h, hkv=hkv, k_scaled=k_scaled, need_lse=return_lse,
     )
     o = o[:, :n_q].reshape(b, h, n_q, dv)
-    lse = lse[:, :n_q].reshape(b, h, n_q)
     if return_lse:
-        return o, lse
+        return o, lse[:, :n_q].reshape(b, h, n_q)
     return o
 
 
 def quantized_dense_fa(q, k, v, **kw):
     """Dense quantized attention (see :func:`quantized_flash_attention`)."""
     return quantized_flash_attention(q, k, v, schedule="dense", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Pre-quantized entry (ring attention / serving: quantize once, attend often)
+# ---------------------------------------------------------------------------
+
+
+def prepare_ring_operands(q, k, v, *, q_dtype, kv_dtype, scale=None):
+    """Quantize a ring shard's operands ONCE before the hop loop.
+
+    Returns ``(q_pre, kq, vq)`` consumable by
+    :func:`quantized_flash_attention_prequant` on every hop:
+
+    * ``kq``: per-token K ( axis=-1) — shard-local per-token scales stay
+      exact under rotation (a token's scale travels with its values);
+    * ``vq``: per-channel V (axis=-2) — scales are per (batch, head,
+      channel) of the *shard*, rotated alongside the values;
+    * ``q_pre``: int8 → token-scaled ``QArray`` (scores dequantize on the
+      MXU output); fp8 → the bf16 dequantized values with softmax scale
+      and log2(e) folded in (v5e has no fp8 MXU — see ``_fp8_upcast``);
+      ``q_dtype=None`` → weight-only mode (bf16 Q, quantized K/V).
+
+    The hops then rotate fp8/int8 bytes over ICI — half (fp8/int8) the
+    bf16 ring traffic, the north-star "quantized ring" mode.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    kv_dtype = jnp.dtype(kv_dtype)
+    kq = quantize(k, kv_dtype, axis=-1)
+    vq = quantize(v, kv_dtype, axis=-2)
+    if q_dtype is None:
+        q_pre = (q.astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+    else:
+        q_dtype = jnp.dtype(q_dtype)
+        if (q_dtype == jnp.int8) != (kv_dtype == jnp.int8):
+            raise ValueError("q/kv dtypes must share the MXU input family")
+        qf = q.astype(jnp.float32) * scale
+        if q_dtype == jnp.int8:
+            q_pre = quantize(qf, jnp.int8, axis=-1)
+        else:
+            qv = quantize(qf, q_dtype, axis=-1)
+            q_pre = (
+                qv.values.astype(jnp.float32) * qv.scales * LOG2E
+            ).astype(jnp.bfloat16)
+    return q_pre, kq, vq
+
+
+def quantized_flash_attention_prequant(
+    q_pre,
+    kq: QArray,
+    vq: QArray,
+    *,
+    schedule: str = "dense",
+    radius: int = 0,
+    section: int = 0,
+    shift: int = 0,
+    wrap_n: int = 0,
+    shifted_causal: bool = False,
+    block_q: int = 1024,
+    block_kv: int = 2048,
+    out_dtype=jnp.bfloat16,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Attend with operands already quantized by
+    :func:`prepare_ring_operands` — no per-call quantize preamble.
+
+    ``q_pre``/``kq.values``/``vq.values`` are ``(batch, heads, n, d)``;
+    per-token K scales dequantize the score columns in-kernel, per-channel
+    V scales the final accumulator. The softmax scale and log2(e) are
+    already folded into ``q_pre`` (bf16 modes) or applied via the q-scale
+    column (int8 mode). GQA supported (kv heads divide q heads).
+    """
+    q_vals = q_pre.values if isinstance(q_pre, QArray) else q_pre
+    b, h, n_q, d = q_vals.shape
+    hkv = kq.values.shape[1]
+    if h % hkv:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {hkv}")
+    n_kv = kq.values.shape[2]
+    dv = vq.values.shape[-1]
+    if interpret is None:
+        interpret = _interpret_default()
+    sched = build_schedule(
+        schedule, n_q, n_kv, block_q, block_kv, radius=radius,
+        section=section, shift=shift, wrap_n=wrap_n,
+        shifted_causal=shifted_causal,
+    )
+
+    kqp = QArray(
+        values=_pad_seq(kq.values.reshape(b * hkv, n_kv, d), sched.n_kv_pad),
+        scales=_pad_scales(
+            kq.scales.reshape(b * hkv, n_kv, 1), sched.n_kv_pad
+        ),
+        axis=-1,
+    )
+    vqp = QArray(
+        values=_pad_seq(vq.values.reshape(b * hkv, n_kv, dv), sched.n_kv_pad),
+        scales=vq.scales.reshape(b * hkv, 1, dv),
+        axis=-2,
+    )
+    if isinstance(q_pre, QArray):
+        qq = QArray(
+            values=_pad_seq(
+                q_pre.values.reshape(b * h, n_q, d), sched.n_q_pad
+            ),
+            scales=_pad_scales(
+                q_pre.scales.reshape(b * h, n_q, 1), sched.n_q_pad
+            ),
+            axis=-1,
+        )
+        q_raw = None
+    else:
+        qq = None
+        q_raw = _pad_seq(q_vals.reshape(b * h, n_q, d), sched.n_q_pad)
+
+    o, lse = _quantized_fwd(
+        qq, q_raw, kqp, vqp, sched, interpret=interpret, out_dtype=out_dtype,
+        hq=h, hkv=hkv, k_scaled=True, need_lse=return_lse,
+    )
+    o = o[:, :n_q].reshape(b, h, n_q, dv)
+    if return_lse:
+        return o, lse[:, :n_q].reshape(b, h, n_q)
+    return o

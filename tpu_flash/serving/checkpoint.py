@@ -56,7 +56,17 @@ def save_checkpoint(path: str, engine: Engine) -> None:
             for c in engine.caches
         ],
     }
-    # Convert to host np arrays; orbax handles the rest.
+    # Convert to host np arrays; orbax handles the rest. np.asarray on a
+    # non-fully-addressable array (multi-host TP) would raise mid-write, so
+    # check up front with a clear message (single-host meshes — including
+    # every virtual-device test mesh — are always fully addressable).
+    for leaf in jax.tree_util.tree_leaves(arrays):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            raise ValueError(
+                "save_checkpoint requires fully-addressable arrays; "
+                "multi-host shardings need a distributed (orbax sharded) "
+                "save path"
+            )
     arrays = jax.tree_util.tree_map(np.asarray, arrays)
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(os.path.join(path, _ARRAYS), arrays, force=True)
@@ -124,13 +134,34 @@ def load_checkpoint(path: str, mesh=None, tp_axis: str = "model") -> Engine:
     # lengths, scales and data all live in the pytree).
     import jax.numpy as jnp
 
-    engine.caches = [
-        dataclasses.replace(
-            engine.caches[i],
-            **{k: jnp.asarray(v) for k, v in arrays["caches"][i].items()},
-        )
-        for i in range(mcfg.num_layers)
-    ]
+    if mesh is not None:
+        # Re-install the TP sharding on the restored arrays immediately
+        # (device_put with the cache pspecs) instead of leaving them
+        # unsharded until the first jit dispatch reshards them.
+        from jax.sharding import NamedSharding
+        from tpu_flash.parallel.shardings import cache_pspecs
+
+        def _restore_cache(i):
+            specs = cache_pspecs(engine.caches[i], tp_axis)
+            return dataclasses.replace(
+                engine.caches[i],
+                **{
+                    k: jax.device_put(
+                        jnp.asarray(v), NamedSharding(mesh, getattr(specs, k))
+                    )
+                    for k, v in arrays["caches"][i].items()
+                },
+            )
+
+        engine.caches = [_restore_cache(i) for i in range(mcfg.num_layers)]
+    else:
+        engine.caches = [
+            dataclasses.replace(
+                engine.caches[i],
+                **{k: jnp.asarray(v) for k, v in arrays["caches"][i].items()},
+            )
+            for i in range(mcfg.num_layers)
+        ]
 
     from collections import deque
 

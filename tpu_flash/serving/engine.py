@@ -153,11 +153,12 @@ class Engine:
     def _decode_fn(self, pages_bound: int):
         """Jitted decode step for a static page bound.
 
-        The paged kernel's grid is (batch, kv_heads, pages_bound); scanning
-        the cache-wide max_pages_per_seq when every running sequence is
-        short multiplies grid-step overhead for nothing (measured 14 ms →
-        ~1 ms on short sequences). Bounds are bucketed to powers of two so
-        at most log2(max_pages) variants ever compile."""
+        The paged kernel is head-batched with grid (batch, pages_bound);
+        scanning the cache-wide max_pages_per_seq when every running
+        sequence is short multiplies grid-step overhead for nothing
+        (measured 14 ms → ~1 ms on short sequences). Bounds are bucketed to
+        powers of four (``_pages_bound``) so at most log4(max_pages)
+        variants ever compile."""
         if pages_bound not in self._decode_fns:
             mcfg, axis = self.mcfg, self.tp_axis
             trash = self._trash_slot
@@ -464,21 +465,49 @@ class Engine:
         )
         self._maybe_finish(slot)
 
-    def _ensure_capacity(self, slot: int) -> bool:
-        """Make sure the slot can hold one more token; extend or preempt."""
+    def _ensure_capacity(self, slot: int) -> str:
+        """Make sure the slot can hold one more token.
+
+        Returns ``"ok"`` (has/got room), ``"cap"`` (the slot already owns
+        max_pages_per_seq — no extension can EVER succeed, so the request
+        must finish, not preempt: requeueing it would wedge the queue head
+        re-failing admission forever), or ``"pool"`` (transient pool
+        exhaustion — preempt and retry later)."""
         r = self.running[slot]
-        pos = len(r.tokens)  # next token's K/V position is len(tokens)-1... guarded below
+        pos = len(r.tokens)  # next token's K/V position is len(tokens)-1
         if pos <= r.alloc_tokens:
-            return True
+            return "ok"
+        if self._alloc.num_pages(slot) >= self.ccfg.max_pages_per_seq:
+            return "cap"
         page = self._alloc.extend(slot)
         if page is not None:
             r.alloc_tokens += self.ccfg.page_size
             self._sync_slot_tables(slot)
-            return True
-        return False
+            return "ok"
+        return "pool"
+
+    def _finish_capacity(self, slot: int) -> None:
+        """Terminate a sequence that hit its per-slot page ceiling."""
+        r = self.running.pop(slot)
+        self.finished.append(
+            FinishedRequest(
+                rid=r.rid,
+                tokens=list(r.tokens),
+                new_tokens=r.tokens[r.prompt_len:],
+                reason="cap",
+            )
+        )
+        self._alloc.free_seq(slot)
+        self._free_slots.append(slot)
 
     def _preempt(self, slot: int) -> None:
         """Return a sequence to the waiting queue (re-prefill later)."""
+        cap = self.ccfg.max_pages_per_seq * self.ccfg.page_size
+        if len(self.running[slot].tokens) + 1 > cap:
+            # requeueing would fail submit()'s capacity bound on
+            # readmission; terminate instead of wedging the queue head.
+            self._finish_capacity(slot)
+            return
         r = self.running.pop(slot)
         self._alloc.free_seq(slot)
         self._free_slots.append(slot)
@@ -493,9 +522,12 @@ class Engine:
         )
 
     def _decode(self) -> None:
-        # capacity check first (may preempt)
+        # capacity check first (may finish at-cap sequences or preempt)
         for slot in sorted(self.running):
-            if not self._ensure_capacity(slot):
+            status = self._ensure_capacity(slot)
+            if status == "cap":
+                self._finish_capacity(slot)
+            elif status == "pool":
                 self._preempt(slot)
         if not self.running:
             return
