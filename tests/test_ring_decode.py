@@ -95,3 +95,74 @@ def test_sharded_decode_matches_single_cache(dtype):
     # the append landed on shard 1 only, at local position n1
     assert int(new_stack.lengths[0, 0]) == n0
     assert int(new_stack.lengths[1, 0]) == n1 + 1
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_sharded_decode_multiway(dtype, shards):
+    """S-way sharded decode (incl. INT4 caches, 4–8 shards — BASELINE #5)
+    equals single-cache attention over the identical quantized history."""
+    mesh = _mesh(shards)
+    rng = np.random.default_rng(3)
+    cfg = CacheConfig(dtype=dtype, **_CFG)
+    B, kh, d = 2, 2, 32
+    total = 29
+    # uneven split, some shards empty for S=8
+    cuts = np.linspace(0, total, shards + 1).astype(int)
+    counts = np.diff(cuts)
+
+    toks = [(jnp.asarray(rng.standard_normal((B, kh, d)), jnp.float32),
+             jnp.asarray(rng.standard_normal((B, kh, d)), jnp.float32))
+            for _ in range(total)]
+    pt = jnp.zeros((4, 4), jnp.int32).at[:, :3].set(
+        jnp.asarray(np.arange(1, 13).reshape(4, 3), jnp.int32))
+
+    def fresh():
+        c = PagedKVCache.create(cfg)
+        return dataclasses.replace(c, page_tables=pt,
+                                   lengths=jnp.zeros((4,), jnp.int32))
+
+    full = _fill(fresh(), rng, B, toks)
+    q = jnp.asarray(rng.standard_normal((B, 4, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, kh, d)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, kh, d)), jnp.float32)
+    slots = jnp.arange(B, dtype=jnp.int32)
+    o_ref, _ = paged_attention(q, full, slots, new_kv=(kn, vn))
+
+    shard_caches = [
+        _fill(fresh(), rng, B, toks[cuts[j]:cuts[j + 1]])
+        for j in range(shards)
+    ]
+    stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *shard_caches)
+
+    def local(q, cache, kn, vn):
+        cache = jax.tree_util.tree_map(lambda x: x[0], cache)
+        out, cache = sharded_paged_attention(
+            q[0], cache, slots, "seq", new_kv=(kn[0], vn[0]))
+        return out[None], jax.tree_util.tree_map(lambda x: x[None], cache)
+
+    specs_cache = dataclasses.replace(
+        stack,
+        k_pages=P("seq"), v_pages=P("seq"),
+        k_scales=P("seq") if cfg.quantized else None,
+        v_scales=P("seq") if cfg.quantized else None,
+        page_tables=P("seq"), lengths=P("seq"),
+    )
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("seq"), specs_cache, P("seq"), P("seq")),
+        out_specs=(P("seq"), specs_cache),
+        check_vma=False,
+    )
+    rep = lambda x: jnp.broadcast_to(x[None], (shards, *x.shape))
+    o_sh, new_stack = fn(rep(q), stack, rep(kn), rep(vn))
+    for j in range(1, shards):
+        assert jnp.allclose(o_sh[0], o_sh[j], atol=1e-5)
+    err = float(jnp.max(jnp.abs(o_sh[0].astype(jnp.float32)
+                                - o_ref.astype(jnp.float32))))
+    assert err < 2e-2, err  # same quantized history; bf16 q cast noise only
+
+    for j in range(shards):
+        want = int(counts[j]) + (1 if j == shards - 1 else 0)
+        assert int(new_stack.lengths[j, 0]) == want

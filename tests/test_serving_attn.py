@@ -94,3 +94,20 @@ def test_serving_lse_matches_unquantized(rng):
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(lse_ref), atol=0.05, rtol=0.01
     )
+
+
+def test_serving_pv_quant_error(rng):
+    """int8 PV-dot mode stays within the quantization error envelope on
+    typical (gaussian) inputs and matches the bf16-PV serving path."""
+    q, k, v = _qkv(rng, 1, 2, 384, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8", kv_scale="token")
+    o_base = serving_flash_attention(q, kq, vq, q_dtype="int8", **_BLK)
+    o_pv8 = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", pv_quant=True, **_BLK
+    )
+    err = float(jnp.max(jnp.abs(
+        o_pv8.astype(jnp.float32) - o_base.astype(jnp.float32))))
+    assert err <= 2e-2, err
+    o_ref, _ = oracle.dense_dpa(q, k, v)
+    err2 = float(jnp.max(jnp.abs(o_pv8.astype(jnp.float32) - o_ref)))
+    assert err2 <= 0.08, err2

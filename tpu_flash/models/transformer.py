@@ -327,6 +327,51 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
     return logits, jnp.argmax(last).astype(jnp.int32), new_caches
 
 
+def decode_step_seq(params, tokens, positions, caches, slots,
+                    cfg: ModelConfig, axis_name: str, pages_bound=None):
+    """One decode step with each layer's paged cache SHARDED over
+    ``axis_name`` (call inside shard_map).
+
+    Identical dense path to :func:`decode_step` (replicated — one token per
+    lane, the projections are not worth sharding at batch≤max_batch), but
+    attention runs :func:`tpu_flash.parallel.ring_decode.
+    sharded_paged_attention`: every rank attends its local slice of the
+    history, partials merge with one psum pair over ICI, and the new
+    token's K/V append lands only on the tail-owner rank (the last shard).
+    ``caches`` are the rank-LOCAL PagedKVCache views. Sliding-window
+    decode is not supported across shards (band positions are global).
+    """
+    from tpu_flash.parallel.ring_decode import sharded_paged_attention
+
+    if cfg.attention == "sliding":
+        raise NotImplementedError("seq-sharded decode is causal-only")
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None, :]
+    pos = positions[:, None]
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln_attn"])
+        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qh = qp.shape[-1] // cfg.head_dim
+        kvh = kp.shape[-1] // cfg.head_dim
+        q = apply_rope(qp.reshape(b, 1, qh, cfg.head_dim), pos, cfg.rope_theta)
+        k = apply_rope(kp.reshape(b, 1, kvh, cfg.head_dim), pos, cfg.rope_theta)
+        v = vp.reshape(b, 1, kvh, cfg.head_dim)
+        o, cache = sharded_paged_attention(
+            q[:, 0].astype(x.dtype), cache, slots, axis_name,
+            new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
+            pages_bound=pages_bound,
+        )
+        x = x + _mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"])
+        hm = rmsnorm(x, layer["ln_mlp"])
+        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        x = x + _mm(gate * _mm(hm, layer["w_up"]), layer["w_down"])
+        new_caches.append(cache)
+    x = rmsnorm(x, params["ln_f"])
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    return logits, new_caches
+
+
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
                 pages_bound=None, tp_axis=None):
     """One decode step over the paged caches.

@@ -56,23 +56,12 @@ from tpu_flash.quant.qarray import QArray, quantize
 _F8 = (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2))
 
 
-def _fp8_upcast(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact fp8 → bf16 via integer bit manipulation.
-
-    v5e has no fp8 MXU and Mosaic's fp8 dot lowering runs the QKᵀ at less
-    than half the bf16 rate (measured 83 vs 160 TFLOP/s end-to-end);
-    ``astype(bf16)`` lowers even slower. This reconstructs the bf16 bits
-    directly: shift the exponent/mantissa field into place and add the
-    exponent-bias delta (e4m3: 127−7 = 120; e5m2: 127−15 = 112); fp8
-    subnormals (exponent bits 0) are rebuilt as m·2^(1−bias−mantissa_bits),
-    which bf16 represents exactly. Verified bit-exact against
-    ``astype(float32)`` on all 256 byte values except the NaN encodings,
-    which the quantizer never emits (it clips to ±max-normal).
-
-    The convert runs on the (block × head_dim) K/V/Q tiles — 8-16× fewer
-    elements than the score matrix — so its VPU cost is marginal next to
-    the recovered MXU rate.
-    """
+def _fp8_upcast_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact fp8 → bf16 via integer bit manipulation (with the subnormal
+    branch). Bit-exact against ``astype(float32)`` on all 256 byte values
+    except the NaN encodings, which the quantizer never emits. Used by the
+    paged-cache read path; the attention inner loops use the branch-free
+    :func:`_fp8_upcast`."""
     dt = jnp.dtype(x.dtype)
     if dt == jnp.dtype(jnp.float8_e4m3fn):
         shift, bias_add, sub_lim, sub_scale = 4, 120 << 7, 8, 2.0 ** -9
@@ -88,6 +77,35 @@ def _fp8_upcast(x: jnp.ndarray) -> jnp.ndarray:
     mag_s = em.astype(jnp.bfloat16) * jnp.bfloat16(sub_scale)
     mag = jnp.where(em < sub_lim, mag_s, mag_n)
     return jnp.where(b >= 128, -mag, mag)
+
+
+def _fp8_upcast(x: jnp.ndarray) -> jnp.ndarray:
+    """Branch-free fp8 → bf16 bit map for the kernel hot loops.
+
+    v5e has no fp8 MXU and Mosaic's fp8 dot lowering runs the QKᵀ at less
+    than half the bf16 rate (measured 83 vs 160 TFLOP/s end-to-end);
+    ``astype(bf16)`` lowers even slower. This builds the bf16 bits in one
+    integer expression — sign bit relocated by shift, exponent/mantissa
+    field shifted into place plus the exponent-bias delta (e4m3: 127−7;
+    e5m2: 127−15) — with NO selects: 8 VPU int ops total vs ~13 for the
+    exact version (`_fp8_upcast_exact`). fp8 *subnormals* (exponent bits
+    0, magnitudes < 2⁻⁶ for e4m3) decode approximately, to
+    2^(1−bias)·(1 + m/2^mbits) instead of m·2^(1−bias−mbits): an absolute
+    error < 2⁻⁶, i.e. ≤ 3.5e-5 of the per-tensor amax after max-abs
+    scaling — three orders of magnitude inside e4m3's ~6% grid step, and
+    far inside the ≤1e-2 quantization-error contract (BASELINE.md).
+    NaN encodings are never emitted by the quantizer (it clips).
+    """
+    dt = jnp.dtype(x.dtype)
+    if dt == jnp.dtype(jnp.float8_e4m3fn):
+        shift, bias_add = 4, 120 << 7
+    elif dt == jnp.dtype(jnp.float8_e5m2):
+        shift, bias_add = 5, 112 << 7
+    else:
+        raise ValueError(f"not an fp8 dtype: {dt}")
+    b = lax.bitcast_convert_type(x, jnp.int8).astype(jnp.int32) & 0xFF
+    bits = ((b & 0x80) << 8) | (((b & 0x7F) << shift) + bias_add)
+    return lax.bitcast_convert_type(bits.astype(jnp.int16), jnp.bfloat16)
 
 
 def _to_bf16(x: jnp.ndarray) -> jnp.ndarray:

@@ -64,6 +64,7 @@ def _sv_kernel(
     k_scaled: bool,   # per-token K scales (else per-tensor, folded at init)
     need_lse: bool,
     scale: float,
+    pv_quant: bool = False,
 ):
     it = iter(refs)
     q_ref = next(it)
@@ -133,11 +134,24 @@ def _sv_kernel(
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         v = v_ref[0]
-        vf = _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
-        pv = lax.dot_general(
-            p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if pv_quant:
+            # P ∈ [0, 1] after the base-2 exp (every element ≤ the running
+            # max's exp2(0) = 1), so a STATIC ×127 scale quantizes it with
+            # no amax pass; the PV dot then rides the 2× int8 MXU path
+            # against the int8 V̂ pages, and the 1/127 folds into one
+            # (bq, dv) multiply. Adds ~1/254-per-element P rounding noise —
+            # see docs/DESIGN.md §int8 for the measured error behavior.
+            p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+            pv = lax.dot_general(
+                p8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+        else:
+            vf = _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[...] = acc_scr[...] * alpha + pv
 
     @pl.when(sched.step_needed(i, s))
@@ -205,10 +219,16 @@ def serving_flash_attention(
     shifted_causal: bool = False,
     block_q: int = 1024,
     block_kv: int = 2048,
+    pv_quant: bool = False,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Attention over a quantized KV set with fresh bf16 Q.
+
+    ``pv_quant=True`` additionally quantizes the probability matrix to
+    int8 with a static ×127 scale so the PV product runs on the int8 MXU
+    (int8 caches only) — trades ~1/254-per-element P rounding noise for
+    half the PV matmul time.
 
     ``q``: (batch, heads, n, d) bf16/f32. ``kq``: K as QArray — per-token
     scales (axis=-1, shape (b, hkv, n, 1)) or per-tensor (axis=(-2,-1),
@@ -239,6 +259,8 @@ def serving_flash_attention(
         q_mode = "int8" if q_dtype == jnp.int8 else "fp8"
     else:
         q_mode = "raw"  # weight-only: bf16 Q, k̂ dequantized in-register
+    if pv_quant and kv_dtype != jnp.int8:
+        raise ValueError("pv_quant requires an int8 cache (int8 V̂ pages)")
 
     sched = build_schedule(
         schedule, n_q, n_kv, block_q, block_kv, radius=radius,
@@ -298,7 +320,7 @@ def serving_flash_attention(
     kernel = functools.partial(
         _sv_kernel, sched=sched, num_steps=sched.max_kv_steps,
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
-        need_lse=return_lse, scale=scale,
+        need_lse=return_lse, scale=scale, pv_quant=pv_quant,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
     o, lse = pl.pallas_call(
