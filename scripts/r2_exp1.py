@@ -203,3 +203,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def exp_h():
+    """vmem_limit raise: larger blocks for bf16 d=128/d=64 dense."""
+    import functools as ft
+    b, h, n = 4, 8, 8192
+    log("=== H: vmem_limit raise, larger blocks ===")
+    for d in (128, 64):
+        q, k, v = mk(b, h, n, d)
+        fl = attention_flops(b, h, n, n, d)
+        cands = [(2048, 2048, 32), (2048, 4096, 64), (1024, 4096, 64),
+                 (4096, 4096, 100), (1024, 8192, 100), (2048, 8192, 100)]
+        for bq, bkv, mb in cands:
+            fn = jax.jit(ft.partial(
+                dense_fa, block_q=bq, block_kv=bkv, vmem_limit_mb=mb))
+            bench(f"H.dense.bf16.8k.d{d}.bq{bq}.bkv{bkv}.v{mb}",
+                  fn, (q, k, v), fl)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "H":
+    exp_h()

@@ -64,23 +64,58 @@ def main() -> None:
 
     sm = _load(os.path.join(args.logs, "softmax.jsonl"))
     if sm:
-        fig, ax = plt.subplots(figsize=(7, 4))
-        shapes = sorted({(r["m"], r["n"]) for r in sm})
-        labels = [f"{m}×{n}" for m, n in shapes]
+        fig, ax = plt.subplots(figsize=(8, 4))
+        shapes = sorted({(r["m"], r["n"], r.get("axis", -1)) for r in sm})
+        labels = [f"{m}×{n}\nax{ax_}" for m, n, ax_ in shapes]
         width = 0.35
         for off, name in ((-width / 2, "fused_softmax"), (width / 2, "xla_softmax")):
             ys = []
-            for m, n in shapes:
+            for m, n, ax_ in shapes:
                 row = next((r for r in sm if r["name"] == name
-                            and (r["m"], r["n"]) == (m, n)), None)
+                            and (r["m"], r["n"], r.get("axis", -1))
+                            == (m, n, ax_)), None)
                 ys.append(row["gbps"] if row else 0)
             ax.bar([i + off for i in range(len(shapes))], ys, width, label=name)
         ax.set_xticks(range(len(shapes)))
-        ax.set_xticklabels(labels)
+        ax.set_xticklabels(labels, fontsize=8)
         ax.set_ylabel("GB/s")
-        ax.set_title("Softmax bandwidth: fused Pallas vs XLA")
+        ax.set_title("Softmax bandwidth: fused Pallas vs XLA (row + col axes)")
         ax.legend()
         path = os.path.join(args.out, "softmax_bw.png")
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        print(f"wrote {path}")
+
+    # Block-size scaling — the reference's thread-scaling figure analog
+    # (figs/threads/main.tex:43-76): throughput vs the kernel's parallel-
+    # resource knob, here the (block_q, block_kv) tile sizes, from the
+    # round-2 sweep logs.
+    exp = _load(os.path.join(args.logs, "r2_exp1.jsonl"))
+    sweeps = {
+        "dense d=128 @8k": "A.dense.bf16.8k.d128.",
+        "dense d=64 @8k": "B.dense.bf16.8k.d64.",
+        "sliding w=1025 @8k": "C.sliding.w1025.8k.",
+    }
+    if exp:
+        fig, ax = plt.subplots(figsize=(8, 4.5))
+        for label, prefix in sweeps.items():
+            pts = {}
+            for r in exp:
+                tag = r.get("tag", "")
+                if tag.startswith(prefix) and "tflops" in r:
+                    blk = tag[len(prefix):].split(".v")[0]
+                    pts[blk] = max(pts.get(blk, 0.0), r["tflops"])
+            if not pts:
+                continue
+            items = sorted(pts.items(), key=lambda kv: kv[1])
+            ax.plot([k.replace(".", "\n") for k, _ in items],
+                    [v for _, v in items], marker="o", label=label)
+        ax.set_ylabel("TFLOP/s (covered work)")
+        ax.set_xlabel("(block_q, block_kv)")
+        ax.set_title("Kernel throughput vs block sizes (v5e, measured)")
+        ax.tick_params(axis="x", labelsize=7)
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=8)
+        path = os.path.join(args.out, "blocks_scaling.png")
         fig.savefig(path, dpi=150, bbox_inches="tight")
         print(f"wrote {path}")
 

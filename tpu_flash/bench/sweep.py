@@ -117,10 +117,25 @@ def suite_attention(quick: bool) -> list[dict]:
             quantized_flash_attention, q_dtype="float8_e4m3fn",
             kv_dtype="float8_e4m3fn", kv_scale="tensor")), 1.0
 
+    def xla_naive(n, d):
+        # On-device naive baseline: materialized-P XLA attention, the
+        # apples-to-apples "naive vs flash" column the reference prints
+        # (bench/compare.jl:86-129). O(N²) memory — capped at n ≤ 8192
+        # by the caller.
+        scale = 1.0 / math.sqrt(d)
+
+        def f(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            p = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        return jax.jit(f), 1.0
+
     cases = [("dense", dense, "bf16"), ("causal", causal, "bf16"),
              ("sliding", sliding, "bf16"), ("circulant", circulant, "bf16"),
              ("block", block, "bf16"),
-             ("dense_int8", q_int8, "int8"), ("dense_fp8", q_fp8, "bf16")]
+             ("dense_int8", q_int8, "int8"), ("dense_fp8", q_fp8, "bf16"),
+             ("xla_naive", xla_naive, "bf16")]
 
     def oracle_for(name, n, d):
         """Oracle + tolerance for the correctness gate (small n only —
@@ -141,6 +156,7 @@ def suite_attention(quick: bool) -> list[dict]:
             # bitwidth ≤1e-2 contract (that lives in tests/test_quant.py)
             "dense_int8": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 0.25),
             "dense_fp8": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 0.25),
+            "xla_naive": (lambda q, k, v: tf.dense_dpa(q, k, v)[0], 2.5e-2),
         }
         return table[name]
 
@@ -150,6 +166,8 @@ def suite_attention(quick: bool) -> list[dict]:
             k = _rand(rng, b, h, n, d)
             v = _rand(rng, b, h, n, d)
             for name, builder, roof_dtype in cases:
+                if name == "xla_naive" and n > 8192:
+                    continue  # O(N²) P matrix exceeds HBM past 8k
                 fn, cov = builder(n, d)
                 flops = attention_flops(b, h, n, n, d, coverage=cov)
                 nbytes = attention_bytes(b, h, n, n, d)
@@ -240,28 +258,45 @@ def suite_backward(quick: bool) -> list[dict]:
     b, h = 1, 8
     seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384)
     dims = (64,) if quick else (64, 128)
+    # The schedule family a trainer would actually use (VERDICT r1 item 7:
+    # dense-only backward rows said nothing about the sparse paths).
+    win = 1025
+
+    def _variants(n):
+        yield "dense_fwd_bwd", (lambda q, k, v: tf.dense_fa(q, k, v)), 1.0
+        yield "causal_fwd_bwd", (
+            lambda q, k, v: tf.dense_fa(q, k, v, causal=True)), 0.5
+        if n > win:
+            cov = win / n
+            yield "sliding_fwd_bwd", (
+                lambda q, k, v: tf.sliding_fa(q, k, v, win)), cov
+            yield "circulant_fwd_bwd", (
+                lambda q, k, v: tf.circulant_fa(q, k, v, win)), cov
+
     for n in seqlens:
       for d in dims:
         q = _rand(rng, b, h, n, d)
         k = _rand(rng, b, h, n, d)
         v = _rand(rng, b, h, n, d)
 
-        @jax.jit
-        def fwdbwd(q, k, v):
-            def loss(q, k, v):
-                return jnp.sum(tf.dense_fa(q, k, v).astype(jnp.float32) ** 2)
-            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for name, attn, cov in _variants(n):
+            @jax.jit
+            def fwdbwd(q, k, v, _attn=attn):
+                def loss(q, k, v):
+                    return jnp.sum(_attn(q, k, v).astype(jnp.float32) ** 2)
+                return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
 
-        flops = attention_flops(b, h, n, n, d, backward=True)
-        nbytes = attention_bytes(b, h, n, n, d) * 3
-        res = measure(
-            "dense_fwd_bwd", fwdbwd, (q, k, v), flops=flops,
-            bytes_moved=nbytes, iters=5,
-            config={"n": n, "d": d, "b": b, "h": h},
-        )
-        rows.append(res.row("bf16"))
-        log(f"  fwd+bwd n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms  "
-            f"{res.tflops:7.2f} TFLOP/s")
+            flops = attention_flops(b, h, n, n, d, backward=True,
+                                    coverage=cov)
+            nbytes = attention_bytes(b, h, n, n, d) * 3
+            res = measure(
+                name, fwdbwd, (q, k, v), flops=flops,
+                bytes_moved=nbytes, iters=5,
+                config={"n": n, "d": d, "b": b, "h": h, "coverage": cov},
+            )
+            rows.append(res.row("bf16"))
+            log(f"  {name:18s} n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms"
+                f"  {res.tflops:7.2f} TFLOP/s (covered)")
     return rows
 
 
@@ -273,26 +308,40 @@ def suite_softmax(quick: bool) -> list[dict]:
 
     rng = np.random.default_rng(0)
     rows = []
-    shapes = [(8192, 16384), (2048, 131072), (131072, 2048)]
-    for m, n in shapes:
+    # (m, n, axis): row one-pass, row many-fiber, row chunked two-pass
+    # (fiber > VMEM), col one-pass, col chunked two-pass. The col shapes
+    # mirror the reference's col-softmax bench (logs/sm_cuda.txt: fiber
+    # 8192 x 131072 fibers).
+    shapes = [
+        (8192, 16384, -1),
+        (131072, 2048, -1),
+        (2048, 131072, -1),
+        (4096, 16384, -2),
+        (8192, 131072, -2),
+    ]
+    for m, n, axis in shapes:
         x = _rand(rng, m, n, dtype=jnp.float32)
         nbytes = x.size * 4 * 2
         for name, fn in (
-            ("fused_softmax", jax.jit(fused_softmax)),
-            ("xla_softmax", jax.jit(lambda a: jax.nn.softmax(a, axis=-1))),
+            ("fused_softmax", jax.jit(
+                functools.partial(fused_softmax, axis=axis))),
+            ("xla_softmax", jax.jit(
+                functools.partial(jax.nn.softmax, axis=axis))),
         ):
             got = fn(x)
-            want = jax.nn.softmax(x, axis=-1)
+            want = jax.nn.softmax(x, axis=axis)
             err = float(jnp.max(jnp.abs(got - want)))
             assert err <= 1e-6, f"softmax gate: {err}"
+            del want
             sec = time_fn(fn, x, iters=10)
             gbps = nbytes / sec / 1e9
-            rows.append({"name": name, "m": m, "n": n,
+            rows.append({"name": name, "m": m, "n": n, "axis": axis,
                          "seconds": round(sec, 6), "gbps": round(gbps, 2),
                          "hbm_frac": round(
                              gbps * 1e9 / device_peaks()["hbm_bytes"], 4),
                          "max_abs_err": err})
-            log(f"  {name:14s} {m}x{n}  {sec*1e3:7.3f} ms  {gbps:7.1f} GB/s")
+            log(f"  {name:14s} {m}x{n} ax{axis}  {sec*1e3:7.3f} ms  "
+                f"{gbps:7.1f} GB/s")
     return rows
 
 

@@ -173,6 +173,203 @@ def _fwd_kernel(
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def _fwd_kernel_t(
+    qn_ref,
+    kn_ref,
+    q_ref,
+    k_ref,
+    vte_ref,
+    ot_ref,
+    lse_ref,
+    m_scr,
+    acc_scr,
+    *,
+    sched: Schedule,
+    num_steps: int,
+    need_lse: bool = True,
+):
+    """Transposed-layout forward for small head dims (d ≤ 64).
+
+    The standard kernel's PV dot writes dv ≤ 64 output lanes — half the
+    128-lane MXU. Here scores stay K-major: ``s_t (bkv, bq) = K ·NT· Q``
+    (native), and PV is ``V^T_ext (dv+1, bkv) @ p (bkv, bq)`` — full
+    output lanes, with a ones row appended to V^T so the softmax
+    denominator rides the same dot (row dv of the accumulator is l).
+
+    The per-step score max is replaced by the Cauchy-Schwarz bound
+    ``m̂_i = ‖q̂_i‖ · max_j ‖k_j‖`` (precomputed norms streamed as lane
+    vectors): any upper bound keeps online softmax exact — m is only an
+    exponent shift, s − m̂ ≤ 0 never overflows, and relative precision is
+    unchanged — while deleting the VPU's score-tile max pass, the single
+    most expensive non-MXU op (measured: 82 → 102 TFLOP/s at d=64;
+    logs/r2_exp2.jsonl T2/T3). Underflow needs the bound to be ≳120
+    doublings above the true max (adversarial norm-aligned inputs), in
+    which case rows degrade to o = 0 via the l > 0 guard.
+    """
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _apply_mask(st):
+        kv_idx = sched.kv_block_index(i, s)
+        q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bkv, bq), 1)
+        k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bkv, bq), 0)
+        mask = sched.mask(q_pos, k_pos)
+        if mask is not None:
+            st = jnp.where(mask, st, DEFAULT_MASK_VALUE)
+        return st
+
+    def _update(st):
+        kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # 1e-4 fp-rounding margin
+        mhat = qn_ref[0][:1] * kmax  # (1, bq) upper bound on this block
+        m_prev = m_scr[:1]
+        m_next = jnp.maximum(m_prev, mhat)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(st - m_next).astype(vte_ref.dtype)
+        pv = lax.dot_general(
+            vte_ref[0], p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dv+1, bq); row dv accumulates l
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:1] = m_next
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        st = lax.dot_general(
+            k_ref[0], q_ref[0], _NT_DIMS, preferred_element_type=jnp.float32
+        )  # (bkv, bq)
+        unm = sched.block_unmasked(i, s) if sched.has_mask else None
+        if not sched.has_mask or unm is True:
+            _update(st)
+        elif unm is None:
+            _update(_apply_mask(st))
+        else:
+            @pl.when(unm)
+            def _unmasked():
+                _update(st)
+
+            @pl.when(jnp.logical_not(unm))
+            def _masked():
+                _update(_apply_mask(st))
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dv = acc_scr.shape[0] - 1
+        l = acc_scr[dv:, :]
+        # fully-masked (or catastrophically underflowed) rows: o=0, lse=-inf
+        valid = l > 0.0
+        l_inv = jnp.where(valid, 1.0 / jnp.where(valid, l, 1.0), 0.0)
+        ot_ref[0] = (acc_scr[:dv] * l_inv).astype(ot_ref.dtype)
+        if need_lse:
+            lse = jnp.where(
+                valid,
+                m_scr[:1] * LN2 + jnp.log(jnp.where(valid, l, 1.0)),
+                -jnp.inf,
+            )
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_fwd_t(
+    q: jnp.ndarray,  # (B·HQ, nq_pad, d), pre-scaled (base-2 units)
+    k: jnp.ndarray,  # (B·HKV, nkv_pad, d)
+    v: jnp.ndarray,  # (B·HKV, nkv_pad, dv)
+    sched: Schedule,
+    *,
+    interpret: bool,
+    out_dtype,
+    hq: int = 1,
+    hkv: int = 1,
+    need_lse: bool = True,
+    vmem_limit_mb: Optional[int] = None,
+):
+    """Transposed-layout dispatch of :func:`_fwd_kernel_t` — V^T/O^T and
+    the norm lane-vectors are produced/consumed by XLA outside the kernel
+    (cheap d×n transposes; ~2% of the attention time at d=64)."""
+    bh, nq_pad, d = q.shape
+    bhkv, nkv_pad, dv = v.shape
+    bq, bkv = sched.block_q, sched.block_kv
+    grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
+    num_steps = sched.max_kv_steps
+    g = hq // hkv
+
+    def kv_row(b):
+        if g == 1:
+            return b
+        return (b // hq) * hkv + (b % hq) // g
+
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
+    qn = jnp.broadcast_to(qn[:, None, :], (bh, 8, nq_pad))
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
+    kn = jnp.broadcast_to(kn[:, None, :], (bhkv, 8, nkv_pad))
+    vte = jnp.concatenate(
+        [v.transpose(0, 2, 1), jnp.ones((bhkv, 1, nkv_pad), v.dtype)], axis=1
+    )  # (bhkv, dv+1, nkv_pad)
+
+    kernel = functools.partial(
+        _fwd_kernel_t, sched=sched, num_steps=num_steps, need_lse=need_lse
+    )
+    if need_lse:
+        lse_spec = pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, i))
+        lse_shape = jax.ShapeDtypeStruct((bh, 8, nq_pad), jnp.float32)
+    else:
+        lse_spec = pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, 8, bq), jnp.float32)
+
+    elem = {jnp.dtype(jnp.float32): 4}.get(jnp.dtype(q.dtype), 2)
+    flops = 4 * sched.n_q * sched.kv_len * (d + dv) // 2 * bh
+    ot, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, i)),
+            pl.BlockSpec(
+                (1, 8, bkv),
+                lambda b, i, s, _s=sched: (kv_row(b), 0, _s.kv_block_index(i, s)),
+            ),
+            pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec(
+                (1, bkv, d),
+                lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0),
+            ),
+            pl.BlockSpec(
+                (1, dv + 1, bkv),
+                lambda b, i, s, _s=sched: (kv_row(b), 0, _s.kv_block_index(i, s)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dv, bq), lambda b, i, s: (b, 0, i)),
+            lse_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, dv, nq_pad), out_dtype),
+            lse_shape,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, bq), jnp.float32),
+            pltpu.VMEM((dv + 1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(vmem_limit_mb << 20) if vmem_limit_mb else None,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * elem,
+            transcendentals=sched.n_q * sched.kv_len,
+        ),
+        interpret=interpret,
+    )(qn, kn, q, k, vte)
+    o = ot.transpose(0, 2, 1)
+    if not need_lse:
+        return o, jnp.zeros((bh, nq_pad), jnp.float32)
+    return o, lse[:, 0, :]
+
+
 def _flash_fwd(
     q: jnp.ndarray,  # (B·HQ, nq_pad, d), pre-scaled
     k: jnp.ndarray,  # (B·HKV, nkv_pad, d)
@@ -184,7 +381,15 @@ def _flash_fwd(
     hq: int = 1,
     hkv: int = 1,
     need_lse: bool = True,
+    vmem_limit_mb: Optional[int] = None,
 ):
+    if q.shape[-1] <= 64 and v.shape[-1] <= 64:
+        # small head dims: the transposed kernel keeps the MXU's output
+        # lanes full (VERDICT r1 item 2; 74.9 → 101.9 TFLOP/s at d=64).
+        return _flash_fwd_t(
+            q, k, v, sched, interpret=interpret, out_dtype=out_dtype,
+            hq=hq, hkv=hkv, need_lse=need_lse, vmem_limit_mb=vmem_limit_mb,
+        )
     bh, nq_pad, d = q.shape
     dv = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
@@ -243,6 +448,7 @@ def _flash_fwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(vmem_limit_mb << 20) if vmem_limit_mb else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -256,8 +462,9 @@ def _flash_fwd(
     return o, lse[..., 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
+        vmem_limit_mb=None):
     """Differentiable core on padded (B·H, n_pad, d) arrays → (o, lse).
 
     The surrounding scaling / padding / halo-concat ops stay outside this
@@ -272,16 +479,20 @@ def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True):
     residual — so gradients are unaffected.
     """
     return _flash_fwd(q, k, v, sched, interpret=interpret,
-                      out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=need_lse)
+                      out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=need_lse,
+                      vmem_limit_mb=vmem_limit_mb)
 
 
-def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse):
+def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
+            vmem_limit_mb):
     o, lse = _flash_fwd(q, k, v, sched, interpret=interpret,
-                        out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=True)
+                        out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=True,
+                        vmem_limit_mb=vmem_limit_mb)
     return (o, lse), (q, k, v, o, lse)
 
 
-def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, res, cts):
+def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
+            res, cts):
     from tpu_flash.ops.flash_bwd import flash_backward
 
     q, k, v, o, lse = res
@@ -384,6 +595,7 @@ def flash_attention(
     interpret: Optional[bool] = None,
     q_dtype=None,
     kv_dtype=None,
+    vmem_limit_mb: Optional[int] = None,
 ):
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
 
@@ -444,7 +656,8 @@ def flash_attention(
     kf = _pad_seq(kf, sched.n_kv_pad)
     vf = _pad_seq(vf, sched.n_kv_pad)
 
-    o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv, return_lse)
+    o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv, return_lse,
+                 vmem_limit_mb)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
         return o, lse[:, :n_q].reshape(b, h, n_q)
