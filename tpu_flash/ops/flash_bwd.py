@@ -136,6 +136,210 @@ def _dkv_kernel(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _dq_kernel_t(
+    q_ref, k_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref, dqt_ref,
+    dqt_acc, *, sched: Schedule, num_steps: int,
+):
+    """Transposed dQ kernel for small head dims (d ≤ 64): score tiles stay
+    K-major ``(bkv, bq)`` so dQ accumulates as ``dQ^T = K^T @ dS^T`` — a
+    full-128-lane NN dot (the standard orientation's ``dS @ K`` writes only
+    d ≤ 64 output lanes). Bonus: lse/delta arrive as (1, bq) lane vectors
+    and need no lane→sublane relayout. See docs/DESIGN.md §10."""
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        dqt_acc[...] = jnp.zeros_like(dqt_acc)
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        lse = lse_ref[0]      # (1, bq) lane vector
+        delta = delta_ref[0]
+        do = do_ref[0]
+
+        sijt = lax.dot_general(k, q, _NT, preferred_element_type=jnp.float32)
+        if sched.has_mask:
+            kv_idx = sched.kv_block_index(i, s)
+            q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bkv, bq), 1)
+            k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bkv, bq), 0)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sijt = jnp.where(mask, sijt, DEFAULT_MASK_VALUE)
+        pt = jnp.exp2(sijt - lse * LOG2E)
+        dpt = lax.dot_general(
+            v, do.astype(v.dtype), _NT, preferred_element_type=jnp.float32
+        )  # (bkv, bq)
+        dst = pt * (dpt - delta)
+        dqt_acc[...] += lax.dot_general(
+            kt_ref[0], dst.astype(k.dtype), _NN,
+            preferred_element_type=jnp.float32,
+        )  # (d, bq)
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dqt_ref[0] = (dqt_acc[...] * LN2).astype(dqt_ref.dtype)
+
+
+def _dkv_kernel_t(
+    q_ref, qt_ref, k_ref, v_ref, do_ref, dot_ref, lse_ref, delta_ref,
+    dkt_ref, dvt_ref, dkt_acc, dvt_acc, *, sched: Schedule, num_steps: int,
+):
+    """Transposed dK/dV kernel for d ≤ 64: ``dV^T = dO^T ·NT· P^T`` and
+    ``dK^T = Q^T ·NT· dS^T`` keep the contraction over bq (full MXU depth)
+    and the output lanes at bkv (full width); the standard orientation's
+    TN dots write only d ≤ 64 lanes."""
+    j = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+
+    @pl.when(s == 0)
+    def _init():
+        dkt_acc[...] = jnp.zeros_like(dkt_acc)
+        dvt_acc[...] = jnp.zeros_like(dvt_acc)
+
+    @pl.when(sched.q_step_needed(j, s))
+    def _step():
+        q_idx = sched.q_block_index(j, s)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        lse = lse_ref[0]      # (1, bq) lane vector
+        delta = delta_ref[0]
+        do = do_ref[0]
+
+        sijt = lax.dot_general(k, q, _NT, preferred_element_type=jnp.float32)
+        if sched.has_mask:
+            q_pos = q_idx * bq + lax.broadcasted_iota(jnp.int32, (bkv, bq), 1)
+            k_pos = j * bkv + lax.broadcasted_iota(jnp.int32, (bkv, bq), 0)
+            mask = sched.mask(q_pos, k_pos)
+            if mask is not None:
+                sijt = jnp.where(mask, sijt, DEFAULT_MASK_VALUE)
+        pt = jnp.exp2(sijt - lse * LOG2E)  # (bkv, bq)
+        dvt_acc[...] += lax.dot_general(
+            dot_ref[0], pt.astype(do.dtype), _NT,
+            preferred_element_type=jnp.float32,
+        )  # (dv, bkv)
+        dpt = lax.dot_general(
+            v, do.astype(v.dtype), _NT, preferred_element_type=jnp.float32
+        )
+        dst = pt * (dpt - delta)
+        dkt_acc[...] += lax.dot_general(
+            qt_ref[0], dst.astype(q.dtype), _NT,
+            preferred_element_type=jnp.float32,
+        )  # (d, bkv)
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dkt_ref[0] = (dkt_acc[...] * LN2).astype(dkt_ref.dtype)
+        dvt_ref[0] = dvt_acc[...].astype(dvt_ref.dtype)
+
+
+def _flash_backward_t(
+    q, k, v, lse3, delta3, sched: Schedule, *, interpret: bool, do
+):
+    """Transposed-layout backward dispatch for d ≤ 64 (X^T inputs/outputs
+    produced/consumed by XLA outside the kernels)."""
+    bh, nq_pad, d = q.shape
+    nkv_pad = k.shape[1]
+    dv_dim = v.shape[-1]
+    bq, bkv = sched.block_q, sched.block_kv
+    qt = q.transpose(0, 2, 1)
+    kt = k.transpose(0, 2, 1)
+    dot_ = do.transpose(0, 2, 1)
+
+    dqt = pl.pallas_call(
+        functools.partial(_dq_kernel_t, sched=sched,
+                          num_steps=sched.max_kv_steps),
+        grid=(bh, sched.num_q_blocks, sched.max_kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec(
+                (1, bkv, d),
+                lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0),
+            ),
+            pl.BlockSpec(
+                (1, d, bkv),
+                lambda b, i, s, _s=sched: (b, 0, _s.kv_block_index(i, s)),
+            ),
+            pl.BlockSpec(
+                (1, bkv, dv_dim),
+                lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0),
+            ),
+            pl.BlockSpec((1, bq, dv_dim), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, d, bq), lambda b, i, s: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, nq_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, kt, v, do, lse3, delta3)
+
+    dkt, dvt = pl.pallas_call(
+        functools.partial(_dkv_kernel_t, sched=sched,
+                          num_steps=sched.max_q_steps),
+        grid=(bh, sched.num_kv_blocks, sched.max_q_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d),
+                lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0),
+            ),
+            pl.BlockSpec(
+                (1, d, bq),
+                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s)),
+            ),
+            pl.BlockSpec((1, bkv, d), lambda b, j, s: (b, j, 0)),
+            pl.BlockSpec((1, bkv, dv_dim), lambda b, j, s: (b, j, 0)),
+            pl.BlockSpec(
+                (1, bq, dv_dim),
+                lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0),
+            ),
+            pl.BlockSpec(
+                (1, dv_dim, bq),
+                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s)),
+            ),
+            pl.BlockSpec(
+                (1, 1, bq),
+                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s)),
+            ),
+            pl.BlockSpec(
+                (1, 1, bq),
+                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s)),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, bkv), lambda b, j, s: (b, 0, j)),
+            pl.BlockSpec((1, dv_dim, bkv), lambda b, j, s: (b, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, nkv_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, dv_dim, nkv_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, bkv), jnp.float32),
+            pltpu.VMEM((dv_dim, bkv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, qt, k, v, do, dot_, lse3, delta3)
+
+    return (
+        dqt.transpose(0, 2, 1),
+        dkt.transpose(0, 2, 1),
+        dvt.transpose(0, 2, 1),
+    )
+
+
 def flash_backward(
     q, k, v, o, lse, do, dlse, sched: Schedule, *, interpret: bool
 ):
@@ -159,6 +363,11 @@ def flash_backward(
     lse_safe = jnp.where(jnp.isfinite(lse), lse, 3e38).astype(jnp.float32)
     lse3 = lse_safe[:, None, :]  # (BH, 1, nq_pad) → (1,1,bq) lane blocks
     delta3 = delta[:, None, :]
+
+    if d <= 64 and dv_dim <= 64:
+        return _flash_backward_t(
+            q, k, v, lse3, delta3, sched, interpret=interpret, do=do
+        )
 
     num_q_blocks = sched.num_q_blocks
     num_kv_blocks = sched.num_kv_blocks

@@ -65,8 +65,10 @@ def _sv_kernel(
     need_lse: bool,
     scale: float,
     pv_quant: bool = False,
+    bound_max: bool = False,
 ):
     it = iter(refs)
+    kn_ref = next(it) if bound_max else None  # (1,8,bkv) scaled k̂ norms
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -78,7 +80,8 @@ def _sv_kernel(
     l_scr = next(it)
     acc_scr = next(it)
     q_scr = next(it)            # (bq, d): bf16 dequantized q (fp8/raw) or int8 q̂
-    qs_scr = next(it, None)     # (bq, _LANES) f32 row scales (int8 mode only)
+    qs_scr = next(it, None) if q_mode == "int8" else None
+    qb_scr = next(it, None) if bound_max else None  # (bq,_LANES) row bounds
 
     i = pl.program_id(1)
     s = pl.program_id(2)
@@ -113,6 +116,16 @@ def _sv_kernel(
             )
         else:
             q_scr[...] = (q * (scale * LOG2E * sk_fold)).astype(jnp.bfloat16)
+        if bound_max:
+            # Cauchy-Schwarz row bound on the kernel's score operand: any
+            # upper bound keeps online softmax exact (an exponent shift);
+            # this deletes the per-step score-tile max — the costliest VPU
+            # pass when the MXU runs int8 (docs/DESIGN.md §10/§11).
+            qop = q_scr[...].astype(jnp.float32)
+            qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
+            if q_mode == "int8":
+                qb = qb * qs_scr[:, :1]
+            qb_scr[...] = jnp.broadcast_to(qb, qb_scr.shape)
 
     def _apply_mask(sij):
         kv_idx = sched.kv_block_index(i, s)
@@ -126,7 +139,11 @@ def _sv_kernel(
     def _update(sij):
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
-        m_curr = jnp.max(sij, axis=-1, keepdims=True)
+        if bound_max:
+            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
+            m_curr = qb_scr[:, :1] * kmax
+        else:
+            m_curr = jnp.max(sij, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(sij - m_next)
@@ -220,10 +237,17 @@ def serving_flash_attention(
     block_q: int = 1024,
     block_kv: int = 2048,
     pv_quant: bool = False,
+    bound_max: Optional[bool] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Attention over a quantized KV set with fresh bf16 Q.
+
+    ``bound_max`` replaces the per-step score-tile max with the
+    Cauchy-Schwarz row bound (exact online softmax under any upper bound;
+    docs/DESIGN.md §10). Defaults to True except under ``pv_quant`` (whose
+    static ×127 P scale needs the true max). Measured v5e gains @8k d=128:
+    int8 148→167, fp8-token 128→155, fp8-tensor 150→155 TFLOP/s.
 
     ``pv_quant=True`` additionally quantizes the probability matrix to
     int8 with a static ×127 scale so the PV product runs on the int8 MXU
@@ -261,6 +285,15 @@ def serving_flash_attention(
         q_mode = "raw"  # weight-only: bf16 Q, k̂ dequantized in-register
     if pv_quant and kv_dtype != jnp.int8:
         raise ValueError("pv_quant requires an int8 cache (int8 V̂ pages)")
+    if bound_max and pv_quant:
+        # pv_quant's static ×127 P scale needs the TRUE running max (P's
+        # top value ≈ 1); under the norm bound P is shifted down by the
+        # bound's slack and the int8 grid loses exactly those bits.
+        raise ValueError("bound_max and pv_quant are mutually exclusive")
+    if bound_max is None:
+        # measured on v5e @8k d=128: int8 148→167, fp8-tensor 150→155,
+        # fp8-token 128→155 TFLOP/s; errors unchanged (logs/r2_exp3.jsonl)
+        bound_max = not pv_quant
 
     sched = build_schedule(
         schedule, n_q, n_kv, block_q, block_kv, radius=radius,
@@ -289,7 +322,23 @@ def serving_flash_attention(
 
     kv_map = lambda bb, i, s, _s=sched: (kv_row(bb), _s.kv_block_index(i, s), 0)
 
-    in_specs = [
+    operands = []
+    in_specs = []
+    if bound_max:
+        # per-token norms of the kernel's K operand × its score multiplier
+        kf32 = (_fp8_upcast(k_vals) if kv_dtype in _F8
+                else k_vals).astype(jnp.float32)
+        kn = jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1))
+        if k_scaled:
+            kn = kn * sk[:, 0, :]
+        operands.append(jnp.broadcast_to(
+            kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)))
+        in_specs.append(pl.BlockSpec(
+            (1, 8, bkv),
+            lambda bb, i, s, _s=sched: (kv_row(bb), 0, _s.kv_block_index(i, s)),
+        ))
+
+    in_specs += [
         pl.BlockSpec((1, bq, d), lambda bb, i, s: (bb, i, 0)),
         pl.BlockSpec((1, bkv, d), kv_map),
         pl.BlockSpec((1, bkv, dv), kv_map),
@@ -316,11 +365,14 @@ def serving_flash_attention(
     ]
     if q_mode == "int8":
         scratch.append(pltpu.VMEM((bq, _LANES), jnp.float32))
+    if bound_max:
+        scratch.append(pltpu.VMEM((bq, _LANES), jnp.float32))
 
     kernel = functools.partial(
         _sv_kernel, sched=sched, num_steps=sched.max_kv_steps,
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
         need_lse=return_lse, scale=scale, pv_quant=pv_quant,
+        bound_max=bound_max,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
     o, lse = pl.pallas_call(
@@ -340,7 +392,7 @@ def serving_flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, k_vals, v_vals, sk, sv)
+    )(*operands, qf, k_vals, v_vals, sk, sv)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
         return o, lse[:, :n_q, 0].reshape(b, h, n_q)
