@@ -75,19 +75,19 @@ def _pick_block(n: int, preferred: int) -> int:
 
 
 def _fwd_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     sched: Schedule,
     num_steps: int,
     need_lse: bool = True,
+    use_bias: bool = False,
+    bh_block: int = 1,
 ):
+    if use_bias:
+        (bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+         acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        bias_ref = None
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
@@ -107,9 +107,9 @@ def _fwd_kernel(
             sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
         return sij
 
-    def _update(sij):
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
+    def _update(sij, bb):
+        m_prev = m_scr[bb, :, :1]
+        l_prev = l_scr[bb, :, :1]
         m_curr = jnp.max(sij, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         # scores are in base-2 units (q pre-scaled by scale*log2e), so the
@@ -117,76 +117,84 @@ def _fwd_kernel(
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(sij - m_next)
         l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        l_scr[bb] = jnp.broadcast_to(l_next, l_scr.shape[1:])
         pv = lax.dot_general(
             p.astype(v_ref.dtype),
-            v_ref[0],
+            v_ref[bb],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+        acc_scr[bb] = acc_scr[bb] * alpha + pv
+
+    def _masked_scores(sij):
+        if use_bias:
+            # one streamed additive-bias tile (0 / mask-value), selected
+            # by the BlockSpec pattern index — replaces the ~5-pass
+            # iota/compare/where chain on edge tiles (VERDICT r1 item 3).
+            return sij + bias_ref[0].astype(jnp.float32)
+        return _apply_mask(sij)
 
     @pl.when(sched.step_needed(i, s))
     def _step():
-        q = q_ref[0]
-        k = k_ref[0]
-        sij = lax.dot_general(q, k, _NT_DIMS, preferred_element_type=jnp.float32)
+        # bh_block > 1 amortizes the fixed per-grid-step cost (DMA issue,
+        # scalar loop, revisit checks — measured ~2 µs/step) over several
+        # batch·head rows: at small blocks the per-step MXU work is ~1 µs,
+        # so the step overhead, not flops or masking, dominates band
+        # schedules (dense bq=bkv=512 measures 58 TFLOP/s vs 153 at
+        # bkv=2048 with identical total flops).
         unm = sched.block_unmasked(i, s) if sched.has_mask else None
-        if not sched.has_mask or unm is True:
-            # statically mask-free (dense, or full-section block-diagonal)
-            _update(sij)
-        elif unm is None:
-            _update(_apply_mask(sij))
-        else:
-            # interior-block fast path: tiles fully inside the visible
-            # region skip the iota/compare/where entirely (the elementwise
-            # mask on every step was the main reason band-schedule speedup
-            # lagged its coverage — VERDICT r1 item 3).
-            @pl.when(unm)
-            def _unmasked():
-                _update(sij)
+        for bb in range(bh_block):
+            sij = lax.dot_general(
+                q_ref[bb], k_ref[bb], _NT_DIMS,
+                preferred_element_type=jnp.float32,
+            )
+            if not sched.has_mask or unm is True:
+                # statically mask-free (dense / full-section block-diag)
+                _update(sij, bb)
+            elif unm is None:
+                _update(_masked_scores(sij), bb)
+            else:
+                # interior-block fast path: tiles fully inside the
+                # visible region skip the mask work entirely.
+                @pl.when(unm)
+                def _unmasked(sij=sij, bb=bb):
+                    _update(sij, bb)
 
-            @pl.when(jnp.logical_not(unm))
-            def _masked():
-                _update(_apply_mask(sij))
+                @pl.when(jnp.logical_not(unm))
+                def _masked(sij=sij, bb=bb):
+                    _update(_masked_scores(sij), bb)
 
     @pl.when(s == num_steps - 1)
     def _finish():
-        l = l_scr[:, :1]
-        m = m_scr[:, :1]
-        # A fully-masked row's running max equals the mask value itself
-        # (every score was DEFAULT_MASK_VALUE, so p = exp2(0) = 1 and l > 0
-        # with a garbage accumulator): such rows are defined as o = 0,
-        # lse = -inf, matching the oracle (ops/oracle.py).
-        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
-        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
-        o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        if need_lse:
-            # emit lse in NATURAL log units (the cross-device/backward
-            # contract). Skipped when the caller discards it: the
-            # lane-broadcast f32 buffer is 2× the output's bytes (e.g.
-            # 134 MB at b=4 h=8 n=8k), pure wasted HBM write bandwidth.
-            lse = jnp.where(
-                valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)), -jnp.inf
-            )
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        for bb in range(bh_block):
+            l = l_scr[bb, :, :1]
+            m = m_scr[bb, :, :1]
+            # A fully-masked row's running max equals the mask value itself
+            # (every score was DEFAULT_MASK_VALUE, so p = exp2(0) = 1 and
+            # l > 0 with a garbage accumulator): such rows are defined as
+            # o = 0, lse = -inf, matching the oracle (ops/oracle.py).
+            valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+            l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+            o_ref[bb] = (acc_scr[bb] * l_inv).astype(o_ref.dtype)
+            if need_lse:
+                # emit lse in NATURAL log units (the cross-device/backward
+                # contract). Skipped when the caller discards it: the
+                # lane-broadcast f32 buffer is 2× the output's bytes (e.g.
+                # 134 MB at b=4 h=8 n=8k), pure wasted HBM write bandwidth.
+                lse = jnp.where(
+                    valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                    -jnp.inf,
+                )
+                lse_ref[bb] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _fwd_kernel_t(
-    qn_ref,
-    kn_ref,
-    q_ref,
-    k_ref,
-    vte_ref,
-    ot_ref,
-    lse_ref,
-    m_scr,
-    acc_scr,
-    *,
+    *refs,
     sched: Schedule,
     num_steps: int,
     need_lse: bool = True,
+    use_bias: bool = False,
 ):
     """Transposed-layout forward for small head dims (d ≤ 64).
 
@@ -206,6 +214,13 @@ def _fwd_kernel_t(
     doublings above the true max (adversarial norm-aligned inputs), in
     which case rows degrade to o = 0 via the l > 0 guard.
     """
+    if use_bias:
+        (bias_ref, qn_ref, kn_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref,
+         m_scr, acc_scr) = refs
+    else:
+        (qn_ref, kn_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref, m_scr,
+         acc_scr) = refs
+        bias_ref = None
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
@@ -238,6 +253,11 @@ def _fwd_kernel_t(
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[:1] = m_next
 
+    def _masked_scores(st):
+        if use_bias:
+            return st + bias_ref[0].astype(jnp.float32)
+        return _apply_mask(st)
+
     @pl.when(sched.step_needed(i, s))
     def _step():
         st = lax.dot_general(
@@ -247,7 +267,7 @@ def _fwd_kernel_t(
         if not sched.has_mask or unm is True:
             _update(st)
         elif unm is None:
-            _update(_apply_mask(st))
+            _update(_masked_scores(st))
         else:
             @pl.when(unm)
             def _unmasked():
@@ -255,7 +275,7 @@ def _fwd_kernel_t(
 
             @pl.when(jnp.logical_not(unm))
             def _masked():
-                _update(_apply_mask(st))
+                _update(_masked_scores(st))
 
     @pl.when(s == num_steps - 1)
     def _finish():
@@ -272,6 +292,33 @@ def _fwd_kernel_t(
                 -jnp.inf,
             )
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _bias_operand(sched: Schedule, transposed: bool):
+    """Build the precomputed additive-mask operand: ``(bias, spec)`` or
+    ``(None, None)``. Gated to tiles ≤ 2 MB so the streamed (double-
+    buffered) bias never pressures VMEM — big-block dense/causal keeps
+    the in-kernel mask; band schedules (small blocks, mostly edge tiles)
+    are the winners."""
+    if not sched.has_mask:
+        return None, None
+    bq, bkv = sched.block_q, sched.block_kv
+    # ≤1 MB per tile: the streamed bias costs 2 VMEM buffers on top of the
+    # f32 score tile — 1024×1024 blocks measured 20.6 MB scoped (> the
+    # 16 MB limit) with a 2 MB bias.
+    if bq * bkv * 2 > (1 << 20):
+        return None, None
+    info = sched.bias_pattern_info()
+    if info is None:
+        return None, None
+    pats, pid = info
+    vals = np.where(pats, 0.0, DEFAULT_MASK_VALUE).astype(np.float32)
+    if transposed:
+        vals = vals.transpose(0, 2, 1)
+    bias = jnp.asarray(vals, jnp.bfloat16)
+    shape = (1, bkv, bq) if transposed else (1, bq, bkv)
+    spec = pl.BlockSpec(shape, lambda b, i, s, _pid=pid: (_pid(i, s), 0, 0))
+    return bias, spec
 
 
 def _flash_fwd_t(
@@ -310,8 +357,10 @@ def _flash_fwd_t(
         [v.transpose(0, 2, 1), jnp.ones((bhkv, 1, nkv_pad), v.dtype)], axis=1
     )  # (bhkv, dv+1, nkv_pad)
 
+    bias, bias_spec = _bias_operand(sched, transposed=True)
     kernel = functools.partial(
-        _fwd_kernel_t, sched=sched, num_steps=num_steps, need_lse=need_lse
+        _fwd_kernel_t, sched=sched, num_steps=num_steps, need_lse=need_lse,
+        use_bias=bias is not None,
     )
     if need_lse:
         lse_spec = pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, i))
@@ -325,7 +374,7 @@ def _flash_fwd_t(
     ot, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=([bias_spec] if bias is not None else []) + [
             pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, i)),
             pl.BlockSpec(
                 (1, 8, bkv),
@@ -363,7 +412,7 @@ def _flash_fwd_t(
             transcendentals=sched.n_q * sched.kv_len,
         ),
         interpret=interpret,
-    )(qn, kn, q, k, vte)
+    )(*(() if bias is None else (bias,)), qn, kn, q, k, vte)
     o = ot.transpose(0, 2, 1)
     if not need_lse:
         return o, jnp.zeros((bh, nq_pad), jnp.float32)
@@ -393,7 +442,6 @@ def _flash_fwd(
     bh, nq_pad, d = q.shape
     dv = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
-    grid = (bh, sched.num_q_blocks, sched.max_kv_steps)
     num_steps = sched.max_kv_steps
     g = hq // hkv
 
@@ -405,16 +453,30 @@ def _flash_fwd(
             return b
         return (b // hq) * hkv + (b % hq) // g
 
+    bias, bias_spec = _bias_operand(sched, transposed=False)
+
+    # Small tiles leave the fixed ~2 µs per-grid-step cost dominant; pack
+    # several batch·head rows into one step (MHA only: the GQA kv_row map
+    # would need per-sub-row kv blocks). Budget: the f32 score tile is the
+    # VMEM driver — keep bh_block · tile ≤ ~2 MB.
+    bhb = 1
+    if g == 1:
+        while (bhb < 8 and bh % (bhb * 2) == 0
+               and bq * bkv * 4 * (bhb * 2) <= (2 << 20)):
+            bhb *= 2
+    grid = (bh // bhb, sched.num_q_blocks, num_steps)
+
     kernel = functools.partial(
-        _fwd_kernel, sched=sched, num_steps=num_steps, need_lse=need_lse
+        _fwd_kernel, sched=sched, num_steps=num_steps, need_lse=need_lse,
+        use_bias=bias is not None, bh_block=bhb,
     )
 
     if need_lse:
-        lse_spec = pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0))
+        lse_spec = pl.BlockSpec((bhb, bq, _LANES), lambda b, i, s: (b, i, 0))
         lse_shape = jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32)
     else:
         # never written by the kernel; a single dummy block per batch row
-        lse_spec = pl.BlockSpec((1, 1, _LANES), lambda b, i, s: (b, 0, 0))
+        lse_spec = pl.BlockSpec((bhb, 1, _LANES), lambda b, i, s: (b, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
 
     elem = {jnp.dtype(jnp.float32): 4}.get(jnp.dtype(q.dtype), 2)
@@ -422,19 +484,19 @@ def _flash_fwd(
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
+        in_specs=([bias_spec] if bias is not None else []) + [
+            pl.BlockSpec((bhb, bq, d), lambda b, i, s: (b, i, 0)),
             pl.BlockSpec(
-                (1, bkv, d),
+                (bhb, bkv, d),
                 lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0),
             ),
             pl.BlockSpec(
-                (1, bkv, dv),
+                (bhb, bkv, dv),
                 lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0),
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, dv), lambda b, i, s: (b, i, 0)),
+            pl.BlockSpec((bhb, bq, dv), lambda b, i, s: (b, i, 0)),
             lse_spec,
         ],
         out_shape=[
@@ -442,9 +504,9 @@ def _flash_fwd(
             lse_shape,
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, _LANES), jnp.float32),
-            pltpu.VMEM((bq, _LANES), jnp.float32),
-            pltpu.VMEM((bq, dv), jnp.float32),
+            pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+            pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+            pltpu.VMEM((bhb, bq, dv), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -456,7 +518,7 @@ def _flash_fwd(
             transcendentals=sched.n_q * sched.kv_len,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*(() if bias is None else (bias,)), q, k, v)
     if not need_lse:
         return o, jnp.zeros((bh, nq_pad), jnp.float32)
     return o, lse[..., 0]

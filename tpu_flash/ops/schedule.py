@@ -132,6 +132,73 @@ class Schedule:
             m = jnp.logical_and(m, k_pos < self.kv_len)
         return m
 
+    def bias_pattern_info(self, max_tiles: int = 4096):
+        """Dedupe the per-tile masks into a small set of precomputed
+        patterns, so the kernel replaces the iota/compare/where chain
+        (~5 VPU passes over the score tile) with ONE add of a streamed
+        additive-bias tile.
+
+        Valid because every schedule's mask is a function of the tile's
+        block offset ``o = i·bq − kv_idx·bkv`` (all conditions compare
+        ``q_pos − k_pos``) plus the single ragged-last-KV-block flag, so
+        distinct tile contents are indexed by ``(o, is_last_ragged)`` —
+        a handful of patterns regardless of grid size. Returns
+        ``(patterns (P, bq, bkv) bool ndarray, pid(i, s) → traced idx)``
+        or None when no mask exists / the grid enumeration is too large.
+        """
+        if not self.has_mask:
+            return None
+        if self.num_q_blocks * self.max_kv_steps > max_tiles:
+            return None
+        import math as _math
+
+        import jax as _jax
+        import numpy as _np
+
+        bq, bkv = self.block_q, self.block_kv
+        g = _math.gcd(bq, bkv)
+        ragged = self.kv_len % bkv != 0
+        last_block = self.num_kv_blocks - 1
+        # Enumerate visited offsets at compile time (the caller is usually
+        # inside a jit trace, where jnp ops on constants would be staged
+        # as tracers) and on the CPU backend (eager ops would otherwise
+        # round-trip the TPU tunnel per tile, ~30 ms each).
+        cpu = _jax.devices("cpu")[0]
+        with _jax.ensure_compile_time_eval(), _jax.default_device(cpu):
+            offs = set()
+            for i in range(self.num_q_blocks):
+                for s in range(self.max_kv_steps):
+                    if not bool(self.step_needed(i, s)):
+                        continue
+                    offs.add(i * bq - int(self.kv_block_index(i, s)) * bkv)
+            if not offs:
+                return None
+            omin, omax = min(offs), max(offs)
+            num_o = (omax - omin) // g + 1
+            a = _np.arange(bq)[:, None]
+            b = _np.arange(bkv)[None, :]
+            pats = []
+            for lastflag in [False, True] if ragged else [False]:
+                kstart = last_block * bkv if lastflag else 0
+                for oi in range(num_o):
+                    o = omin + oi * g
+                    m = self.mask(
+                        jnp.asarray(kstart + o + a), jnp.asarray(kstart + b)
+                    )
+                    # masks that ignore one coordinate (e.g. the dense
+                    # kv-padding mask) come back partially broadcast
+                    pats.append(_np.broadcast_to(_np.asarray(m), (bq, bkv)))
+        num_p = len(pats)
+
+        def pid(i, s, _self=self):
+            j = _self.kv_block_index(i, s)
+            base = (i * bq - j * bkv - omin) // g
+            if ragged:
+                base = base + num_o * (j == last_block)
+            return jnp.clip(base, 0, num_p - 1)
+
+        return _np.stack(pats), pid
+
 
 DenseSchedule = Schedule
 
