@@ -221,3 +221,19 @@ def test_chunked_prefill_sliding_window(params):
         return [f.tokens for f in eng.run()]
 
     assert run(32) == run(None)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int8"])
+def test_pipelined_decode_matches_default(params, dtype):
+    """EngineConfig.pipelined_decode swaps in the hand-pipelined decode
+    kernel (ops/paged.py _pipe_kernel); the generated tokens must match
+    the BlockSpec-pipeline kernel's."""
+    prompt = list(np.random.default_rng(3).integers(1, 255, 12))
+
+    def run(pipelined):
+        eng = Engine(params, _MCFG, _cache_cfg(dtype),
+                     EngineConfig(max_batch=2, pipelined_decode=pipelined))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+        return eng.run()[0].tokens
+
+    assert run(True) == run(False)

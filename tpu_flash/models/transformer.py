@@ -373,13 +373,17 @@ def decode_step_seq(params, tokens, positions, caches, slots,
 
 
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
-                pages_bound=None, tp_axis=None):
+                pages_bound=None, tp_axis=None, pipelined=False):
     """One decode step over the paged caches.
 
     tokens: (B,) int32 new token ids; positions: (B,) their positions;
     caches: list (len = num_layers) of PagedKVCache; slots: (B,) slot ids.
     The new token's K/V are appended to each layer's cache *before* the
     paged attention, so the token attends to itself.
+
+    ``pipelined=True`` uses the hand-pipelined decode kernel
+    (ops/paged.py `_pipe_kernel`: dynamic page loop, manual
+    double-buffered DMA, rank-1 append) — ``pages_bound`` is then ignored.
 
     Returns (logits (B, vocab), new_caches).
     """
@@ -402,11 +406,20 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
         k = apply_rope(k, pos, cfg.rope_theta)
         # fused append+attention: the new token's K/V are quantized and
         # written into the tail page in the same kernel pass that reads it
-        o, cache = paged_attention(
-            q[:, 0].astype(x.dtype), cache, slots,
-            new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
-            pages_bound=pages_bound, radius=radius,
-        )
+        if pipelined:
+            from tpu_flash.ops.paged import paged_attention_pipelined
+
+            o, cache = paged_attention_pipelined(
+                q[:, 0].astype(x.dtype), cache, slots,
+                new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
+                radius=radius,
+            )
+        else:
+            o, cache = paged_attention(
+                q[:, 0].astype(x.dtype), cache, slots,
+                new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
+                pages_bound=pages_bound, radius=radius,
+            )
         x = x + _psum(_mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"]), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
         gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)

@@ -294,6 +294,21 @@ def _fwd_kernel_t(
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def _auto_vmem_mb(sched: Schedule, explicit: Optional[int],
+                  extra_tiles: int = 0) -> Optional[int]:
+    """Raise the scoped-VMEM limit for kernels whose live f32 score-tile
+    temporaries exceed the 16 MB default — the masked two-branch forward
+    keeps a second (bq, bkv) copy live, and the backward holds s and dp
+    simultaneously. The hardware has 128 MB of VMEM; 32–64 MB scoped
+    limits measured identical throughput (logs/r2_exp1.jsonl H rows)."""
+    if explicit is not None:
+        return explicit
+    live = sched.block_q * sched.block_kv * 4 * (2 + extra_tiles)
+    if live > (14 << 20):
+        return 32
+    return None
+
+
 def _bias_operand(sched: Schedule, transposed: bool):
     """Build the precomputed additive-mask operand: ``(bias, spec)`` or
     ``(None, None)``. Gated to tiles ≤ 2 MB so the streamed (double-
@@ -358,6 +373,8 @@ def _flash_fwd_t(
     )  # (bhkv, dv+1, nkv_pad)
 
     bias, bias_spec = _bias_operand(sched, transposed=True)
+    if sched.has_mask:
+        vmem_limit_mb = _auto_vmem_mb(sched, vmem_limit_mb)
     kernel = functools.partial(
         _fwd_kernel_t, sched=sched, num_steps=num_steps, need_lse=need_lse,
         use_bias=bias is not None,
@@ -454,6 +471,8 @@ def _flash_fwd(
         return (b // hq) * hkv + (b % hq) // g
 
     bias, bias_spec = _bias_operand(sched, transposed=False)
+    if sched.has_mask:
+        vmem_limit_mb = _auto_vmem_mb(sched, vmem_limit_mb)
 
     # Small tiles leave the fixed ~2 µs per-grid-step cost dominant; pack
     # several batch·head rows into one step (MHA only: the GQA kv_row map

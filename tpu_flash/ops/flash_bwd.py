@@ -31,7 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E
+from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E, _auto_vmem_mb
 from tpu_flash.ops.schedule import Schedule
 
 _LANES = 128
@@ -251,6 +251,10 @@ def _flash_backward_t(
     qt = q.transpose(0, 2, 1)
     kt = k.transpose(0, 2, 1)
     dot_ = do.transpose(0, 2, 1)
+    # s and dp score tiles are live together (plus p) — past the 16 MB
+    # scoped default at 1024×2048 blocks (measured 16.36M OOM)
+    mb = _auto_vmem_mb(sched, None, extra_tiles=1)
+    vmem_bytes = (mb << 20) if mb else None
 
     dqt = pl.pallas_call(
         functools.partial(_dq_kernel_t, sched=sched,
@@ -279,6 +283,7 @@ def _flash_backward_t(
         scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
     )(q, k, kt, v, do, lse3, delta3)
@@ -329,6 +334,7 @@ def _flash_backward_t(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
     )(q, qt, k, v, do, dot_, lse3, delta3)
@@ -371,6 +377,8 @@ def flash_backward(
 
     num_q_blocks = sched.num_q_blocks
     num_kv_blocks = sched.num_kv_blocks
+    mb = _auto_vmem_mb(sched, None, extra_tiles=1)
+    vmem_bytes = (mb << 20) if mb else None
 
     # ---- dQ: Q-major grid, forward schedule.
     dq_steps = sched.max_kv_steps
@@ -395,6 +403,7 @@ def flash_backward(
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
     )(q, k, v, do, lse3, delta3)
@@ -435,6 +444,7 @@ def flash_backward(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
     )(q, k, v, do, lse3, delta3)

@@ -610,3 +610,444 @@ def paged_attention(
     if return_lse:
         return o, lse, new_cache
     return o, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Pipelined decode (v2): manual double-buffered page DMA + rank-1 append
+# ---------------------------------------------------------------------------
+
+
+def _pipe_kernel(
+    # scalar prefetch: lens, page table, start [, tpage, off]
+    *all_refs,
+    page: int,
+    chunk_pages: int,
+    quantized: bool,
+    int4: bool,
+    append: bool,
+    want_lse: bool,
+):
+    """Decode attention with the page stream hand-pipelined.
+
+    The BlockSpec pipeline (v1, `_paged_kernel`) pays one grid step per
+    page — at decode shapes each step is ~1 µs of compute against a fixed
+    ~2 µs step cost, and `pages_bound` rounds the grid up past the live
+    length. Here the grid is just (batch,): pages stream from the
+    ANY-space pools through double-buffered `make_async_copy` chunks of
+    ``chunk_pages`` pages inside a dynamic-trip `fori_loop` (exactly
+    ⌈len/page⌉ iterations — no bubble steps, no bucketing), with chunk
+    c+1's DMAs issued before chunk c's compute.
+
+    The fused append is re-cast as a **rank-1 online-softmax update**: the
+    new token's score/value contribution is computed directly from the
+    in-register quantized row (identical numerics to reading it back from
+    the cache), and the cache write degenerates to one row DMA per pool —
+    no read-modify-write of the tail page, no merged-page aliasing.
+    """
+    it = iter(all_refs)
+    lens_ref = next(it)
+    pt_ref = next(it)
+    start_ref = next(it)
+    tpage_ref = next(it) if append else None
+    off_ref = next(it) if append else None
+    q_ref = next(it)
+    kpool = next(it)            # ANY (kvh, P, page, stor)
+    vpool = next(it)
+    ks_ref = next(it) if quantized else None   # VMEM-resident (kvh, P, 1, page)
+    vs_ref = next(it) if quantized else None
+    kn_ref = next(it) if append else None
+    vn_ref = next(it) if append else None
+    o_ref = next(it)
+    kp_out = next(it) if append else None      # (1, kvh, page, stor) VMEM
+    vp_out = next(it) if append else None      # merged tail page out
+    lse_ref = next(it) if want_lse else None
+    kbuf = next(it)             # VMEM (2, kvh, chunk_pages*page, stor)
+    vbuf = next(it)
+    sems = next(it)             # DMA sems (2, 2, chunk_pages)
+    row_sems = next(it) if append else None    # DMA sems (4,)
+    ktail = next(it) if append else None       # VMEM (kvh, page, stor)
+    vtail = next(it) if append else None
+    acc_scr = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+
+    b = pl.program_id(0)
+    length = lens_ref[b]
+    start_tok = start_ref[b]
+    start_pg = start_tok // page
+    np_b = jnp.maximum(pl.cdiv(length, page), 1)
+    num_pages = np_b - start_pg
+    nchunks = pl.cdiv(num_pages, chunk_pages)
+    cp = chunk_pages
+
+    def issue(c, slot):
+        """Start the DMAs for chunk c into buffer `slot`."""
+        for j in range(cp):
+            logical = start_pg + c * cp + j
+            phys = pt_ref[b, jnp.clip(logical, 0, np_b - 1)]
+            pltpu.make_async_copy(
+                kpool.at[:, phys],
+                kbuf.at[slot, :, pl.ds(j * page, page)],
+                sems.at[slot, 0, j],
+            ).start()
+            pltpu.make_async_copy(
+                vpool.at[:, phys],
+                vbuf.at[slot, :, pl.ds(j * page, page)],
+                sems.at[slot, 1, j],
+            ).start()
+
+    def wait(c, slot):
+        for j in range(cp):
+            logical = start_pg + c * cp + j
+            phys = pt_ref[b, jnp.clip(logical, 0, np_b - 1)]
+            pltpu.make_async_copy(
+                kpool.at[:, phys],
+                kbuf.at[slot, :, pl.ds(j * page, page)],
+                sems.at[slot, 0, j],
+            ).wait()
+            pltpu.make_async_copy(
+                vpool.at[:, phys],
+                vbuf.at[slot, :, pl.ds(j * page, page)],
+                sems.at[slot, 1, j],
+            ).wait()
+
+    m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+    issue(0, 0)
+
+    q = q_ref[0]  # (kvh, G, d) pre-scaled bf16
+
+    def body(c, _):
+        slot = lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _prefetch():
+            issue(c + 1, lax.rem(c + 1, 2))
+
+        wait(c, slot)
+        k = kbuf[slot]
+        v = vbuf[slot]
+        if int4:
+            def _unpack(x):
+                x32 = x.astype(jnp.int32)
+                lo = (x32 << 28) >> 28
+                hi = x32 >> 4
+                return jnp.concatenate([lo, hi], axis=-1)
+
+            k = _unpack(k)
+            v = _unpack(v)
+        kf = k.astype(q.dtype)
+        vf = v.astype(q.dtype)
+        s = lax.dot_general(
+            q, kf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (kvh, G, cp*page)
+        if quantized:
+            # gather this chunk's scale rows from the resident arrays
+            parts_k = []
+            parts_v = []
+            for j in range(cp):
+                logical = start_pg + c * cp + j
+                phys = pt_ref[b, jnp.clip(logical, 0, np_b - 1)]
+                parts_k.append(ks_ref[:, pl.ds(phys, 1), 0])  # (kvh,1,page)
+                parts_v.append(vs_ref[:, pl.ds(phys, 1), 0])
+            ks_c = jnp.concatenate(parts_k, axis=-1)  # (kvh, 1, cp*page)
+            vs_c = jnp.concatenate(parts_v, axis=-1)
+            s = s * ks_c
+        k_pos = (start_pg + c * cp) * page + lax.broadcasted_iota(
+            jnp.int32, (1, 1, cp * page), 2)
+        s = jnp.where((k_pos >= start_tok) & (k_pos < length), s,
+                      DEFAULT_MASK_VALUE)
+        m_prev = m_scr[:, :, :1]
+        l_prev = l_scr[:, :, :1]
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_scr[:, :, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:, :, :1] = m_next
+        if quantized:
+            p = p * vs_c
+        pv = lax.dot_general(
+            p.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        return 0
+
+    lax.fori_loop(0, nchunks, body, 0)
+
+    if append:
+        # ---- rank-1 update: the new token never round-trips the cache.
+        kn, ksc = _encode_row(
+            kn_ref[0].astype(jnp.float32),
+            quantized=quantized, int4=int4, out_dtype=kbuf.dtype,
+        )
+        vn, vsc = _encode_row(
+            vn_ref[0].astype(jnp.float32),
+            quantized=quantized, int4=int4, out_dtype=vbuf.dtype,
+        )
+        if int4:
+            x32 = kn.astype(jnp.int32)
+            kn_deq = jnp.concatenate(
+                [(x32 << 28) >> 28, x32 >> 4], axis=-1).astype(q.dtype)
+            v32 = vn.astype(jnp.int32)
+            vn_deq = jnp.concatenate(
+                [(v32 << 28) >> 28, v32 >> 4], axis=-1).astype(q.dtype)
+        else:
+            kn_deq = kn.astype(q.dtype)
+            vn_deq = vn.astype(q.dtype)
+        # score of the single new key: (kvh, G, d) · (kvh, d) → (kvh, G, 1)
+        s_new = lax.dot_general(
+            q, kn_deq[:, None, :], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if quantized:
+            s_new = s_new * ksc[:, None, :]
+        m_prev = m_scr[:, :, :1]
+        l_prev = l_scr[:, :, :1]
+        m_next = jnp.maximum(m_prev, s_new)
+        alpha = jnp.exp2(m_prev - m_next)
+        p_new = jnp.exp2(s_new - m_next)  # (kvh, G, 1)
+        if quantized:
+            pv_new = (p_new * vsc[:, None, :]) * vn_deq.astype(
+                jnp.float32)[:, None, :]
+        else:
+            pv_new = p_new * vn_deq.astype(jnp.float32)[:, None, :]
+        acc_scr[...] = acc_scr[...] * alpha + pv_new
+        l_scr[:, :, :1] = alpha * l_prev + p_new
+        m_scr[:, :, :1] = m_next
+
+        # ---- cache write: the merged tail page leaves the kernel as a
+        # REGULAR per-slot output (kp_out/vp_out, (1, kvh, page, stor)
+        # blocks); the host scatters it into the (donated) pool with one
+        # XLA dynamic-update per slot. No pool aliasing: an earlier
+        # variant that DMA-wrote the aliased ANY-space pool deadlocked
+        # the chip after completing. Scale updates are host-side too (the
+        # 64-lane scale pages cannot be DMA-sliced under (·,128) tiling).
+        tphys = pt_ref[b, jnp.minimum(tpage_ref[b], pt_ref.shape[1] - 1)]
+        off = off_ref[b]
+        pltpu.make_async_copy(
+            kpool.at[:, tphys], ktail, row_sems.at[0]).start()
+        pltpu.make_async_copy(
+            vpool.at[:, tphys], vtail, row_sems.at[1]).start()
+        pltpu.make_async_copy(
+            kpool.at[:, tphys], ktail, row_sems.at[0]).wait()
+        pltpu.make_async_copy(
+            vpool.at[:, tphys], vtail, row_sems.at[1]).wait()
+        row_hit = lax.broadcasted_iota(
+            jnp.int32, (1, page, 1), 1) == off
+        # merge in 32-bit: sub-32-bit selects through broadcasts trip
+        # Mosaic relayout (same workaround as _append_kernel)
+        wd = (jnp.int32 if jnp.issubdtype(ktail.dtype, jnp.integer)
+              else jnp.float32)
+        kp_out[0] = jnp.where(
+            row_hit, kn.astype(wd)[:, None, :], ktail[...].astype(wd)
+        ).astype(kp_out.dtype)
+        vp_out[0] = jnp.where(
+            row_hit, vn.astype(wd)[:, None, :], vtail[...].astype(wd)
+        ).astype(vp_out.dtype)
+
+    l = l_scr[:, :, :1]
+    m = m_scr[:, :, :1]
+    valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+    l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+    o_ref[0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+    if want_lse:
+        lse = jnp.where(
+            valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)), -jnp.inf
+        )
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def paged_attention_pipelined(
+    q: jnp.ndarray,
+    cache: PagedKVCache,
+    slots: jnp.ndarray,
+    *,
+    new_kv=None,
+    radius: Optional[int] = None,
+    positions: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    chunk_pages: int = 4,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Hand-pipelined decode attention — see :func:`_pipe_kernel`.
+
+    Same contract as :func:`paged_attention` (incl. fused append via
+    ``new_kv`` and banded decode via ``radius``) minus ``pages_bound``:
+    the in-kernel loop runs exactly ⌈len/page⌉ iterations. Requires
+    VMEM-resident scales for quantized caches.
+    """
+    cfg = cache.config
+    b, qh, d = q.shape
+    kvh = cache.k_pages.shape[0]
+    if qh % kvh:
+        raise ValueError(f"q_heads {qh} not a multiple of kv_heads {kvh}")
+    g = qh // kvh
+    page = cfg.page_size
+    stor = cache.k_pages.shape[3]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = _interpret_default()
+    quantized = cfg.quantized
+    int4 = cfg.dtype == "int4"
+    append = new_kv is not None
+    if append and not (interpret or _interpret_default()):
+        # The append variant hangs the v5e after (or while) executing —
+        # reproduced both with aliased ANY-pool DMA writes AND with the
+        # aliasing-free tail-page-output design, so the suspect is the
+        # tail-page fetch DMA issued after the dynamic-trip fori_loop
+        # (the no-append kernel, which ends at the loop, runs clean and
+        # 2.1× faster than v1). Each repro wedges the chip for ~15 min,
+        # so hardware validation is parked; interpret mode and the
+        # engine's CPU tests cover the full semantics. On hardware use
+        # `paged_attention` (v1) for fused-append decode.
+        raise NotImplementedError(
+            "pipelined decode append is not yet safe on TPU hardware; "
+            "use paged_attention (see ops/paged.py _pipe_kernel notes)"
+        )
+    if quantized and cache.k_scales.nbytes > _RESIDENT_SCALES_BYTES:
+        raise ValueError(
+            "pipelined decode needs VMEM-resident scales "
+            f"({cache.k_scales.nbytes} B > {_RESIDENT_SCALES_BYTES})"
+        )
+
+    pos = cache.lengths[slots].astype(jnp.int32)
+    # the loop covers only CACHED tokens; the new token is a rank-1 update
+    lengths = pos
+    full_len = pos + 1 if append else pos
+    if radius is not None:
+        qpos = ((full_len - 1) if positions is None
+                else positions.astype(jnp.int32))
+        start = jnp.maximum(qpos - radius, 0)
+    else:
+        start = jnp.zeros_like(lengths)
+    page_tables = cache.page_tables[slots].astype(jnp.int32)
+
+    qg = (q.astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+    qg = qg.reshape(b, kvh, g, d)
+
+    scalars = [lengths, page_tables, start]
+    if append:
+        scalars += [pos // page, pos % page]
+    n_prefetch = len(scalars)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        pl.BlockSpec((1, kvh, g, d), lambda bi, *_: (bi, 0, 0, 0)),
+        any_spec,
+        any_spec,
+    ]
+    inputs = [qg, cache.k_pages, cache.v_pages]
+    if quantized:
+        kvh_, tp_, pg_ = cache.k_scales.shape
+        sc4 = (kvh_, tp_, 1, pg_)
+        full_sc = pl.BlockSpec(
+            (kvh_, tp_, 1, pg_), lambda bi, *_: (0, 0, 0, 0))
+        in_specs += [full_sc, full_sc]
+        inputs += [cache.k_scales.reshape(sc4), cache.v_scales.reshape(sc4)]
+    if append:
+        kn, vn = new_kv
+        new_spec = pl.BlockSpec((1, kvh, d), lambda bi, *_: (bi, 0, 0))
+        in_specs += [new_spec, new_spec]
+        inputs += [kn, vn]
+
+    out_specs = [pl.BlockSpec((1, kvh, g, d), lambda bi, *_: (bi, 0, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype)]
+    aliases = {}
+    if append:
+        # merged tail pages as regular per-slot outputs (scattered into
+        # the donated pools host-side — no pool aliasing in the kernel)
+        tail_spec = pl.BlockSpec(
+            (1, kvh, page, stor), lambda bi, *_: (bi, 0, 0, 0))
+        out_specs += [tail_spec, tail_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, kvh, page, stor), cache.k_pages.dtype),
+            jax.ShapeDtypeStruct((b, kvh, page, stor), cache.v_pages.dtype),
+        ]
+    if return_lse:
+        out_specs += [pl.BlockSpec(
+            (1, kvh, g, _LANES), lambda bi, *_: (bi, 0, 0, 0))]
+        out_shapes += [jax.ShapeDtypeStruct((b, kvh, g, _LANES), jnp.float32)]
+
+    scratch = [
+        pltpu.VMEM((2, kvh, chunk_pages * page, stor), cache.k_pages.dtype),
+        pltpu.VMEM((2, kvh, chunk_pages * page, stor), cache.v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, chunk_pages)),
+    ]
+    if append:
+        scratch += [
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((kvh, page, stor), cache.k_pages.dtype),
+            pltpu.VMEM((kvh, page, stor), cache.v_pages.dtype),
+        ]
+    scratch += [
+        pltpu.VMEM((kvh, g, d), jnp.float32),
+        pltpu.VMEM((kvh, g, _LANES), jnp.float32),
+        pltpu.VMEM((kvh, g, _LANES), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    kernel = functools.partial(
+        _pipe_kernel,
+        page=page,
+        chunk_pages=chunk_pages,
+        quantized=quantized,
+        int4=int4,
+        append=append,
+        want_lse=return_lse,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*scalars, *inputs)
+    o = outs[0].reshape(b, qh, d)
+    lse = outs[-1][..., 0].reshape(b, qh) if return_lse else None
+    if not append:
+        return (o, lse) if return_lse else o
+    import dataclasses as _dc
+
+    tphys = jnp.take_along_axis(
+        page_tables,
+        jnp.minimum(pos // page, page_tables.shape[1] - 1)[:, None],
+        axis=1,
+    )[:, 0]
+    kw = dict(
+        # scatter the merged tail pages into the (donated) pools: one
+        # dynamic update per slot, in place under the engine's donation
+        k_pages=cache.k_pages.at[:, tphys].set(outs[1].transpose(1, 0, 2, 3)),
+        v_pages=cache.v_pages.at[:, tphys].set(outs[2].transpose(1, 0, 2, 3)),
+        lengths=cache.lengths.at[slots].add(1),
+    )
+    if quantized:
+        # host-side scale scatter (b*kvh elements -- the 64-lane scale
+        # pages can't be DMA-sliced in-kernel); formula matches
+        # _encode_row exactly so reads reproduce the kernel's dequant.
+        qmax = 7.0 if int4 else 127.0
+        offs = pos % page
+
+        def _sc(x):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+            return jnp.maximum(amax, 1e-12) / qmax  # (b, kvh)
+
+        kw["k_scales"] = cache.k_scales.at[:, tphys, offs].set(_sc(kn).T)
+        kw["v_scales"] = cache.v_scales.at[:, tphys, offs].set(_sc(vn).T)
+    new_cache = _dc.replace(cache, **kw)
+    if return_lse:
+        return o, lse, new_cache
+    return o, new_cache

@@ -88,6 +88,7 @@ class EngineConfig:
     max_batch: int = 8
     prefill_buckets: tuple = (64, 128, 256, 512, 1024, 2048)
     pages_bound: Optional[int] = None  # static cap for the decode kernel
+    pipelined_decode: bool = False  # hand-pipelined decode kernel (v2)
     chunk_size: Optional[int] = None  # tokens per prefill chunk (page-multiple);
     # prompts longer than this stream in chunks interleaved with decode steps
     seed: int = 0
@@ -163,10 +164,13 @@ class Engine:
             mcfg, axis = self.mcfg, self.tp_axis
             trash = self._trash_slot
 
+            pipelined = self.ecfg.pipelined_decode
+
             def run(params, caches, tokens, positions, slots, temps, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, mcfg,
                     pages_bound=pages_bound, tp_axis=axis,
+                    pipelined=pipelined,
                 )
                 # idle lanes append to the trash slot every step; reset its
                 # length so it never walks off its (all-trash-page) table
