@@ -77,8 +77,9 @@ def test_matches_v1(dtype, chunk_pages):
     )
 
 
+@pytest.mark.parametrize("rank1", [False, True])
 @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
-def test_append_matches_v1(dtype):
+def test_append_matches_v1(dtype, rank1):
     lens = [37, 16, 50, 15]  # incl. page-boundary tail (16 → new page? no:
     # 16 % 16 == 0 → next token starts page 1; 15 → fills page 0)
     cache = _populated_cache(dtype, lens)
@@ -89,7 +90,7 @@ def test_append_matches_v1(dtype):
     slots = jnp.arange(b)
     o1, c1 = paged_attention(q, cache, slots, new_kv=(kn, vn))
     o2, c2 = paged_attention_pipelined(
-        q, cache, slots, new_kv=(kn, vn), chunk_pages=2
+        q, cache, slots, new_kv=(kn, vn), chunk_pages=2, rank1_append=rank1
     )
     np.testing.assert_allclose(
         np.asarray(o1, np.float32), np.asarray(o2, np.float32), atol=5e-3

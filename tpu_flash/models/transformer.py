@@ -383,7 +383,8 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
 
     ``pipelined=True`` uses the hand-pipelined decode kernel
     (ops/paged.py `_pipe_kernel`: dynamic page loop, manual
-    double-buffered DMA, rank-1 append) — ``pages_bound`` is then ignored.
+    double-buffered DMA; append runs as the standalone fused-append
+    kernel before the attention) — ``pages_bound`` is then ignored.
 
     Returns (logits (B, vocab), new_caches).
     """

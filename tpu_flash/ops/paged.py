@@ -872,6 +872,7 @@ def paged_attention_pipelined(
     chunk_pages: int = 4,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    rank1_append: bool = False,
 ):
     """Hand-pipelined decode attention — see :func:`_pipe_kernel`.
 
@@ -879,6 +880,14 @@ def paged_attention_pipelined(
     ``new_kv`` and banded decode via ``radius``) minus ``pages_bound``:
     the in-kernel loop runs exactly ⌈len/page⌉ iterations. Requires
     VMEM-resident scales for quantized caches.
+
+    Append is **split** by default: the standalone :func:`fused_append`
+    kernel quantizes + writes the new token's row, then the (hardware-
+    validated) no-append pipelined kernel attends over the updated cache
+    — identical cache bytes and attention numerics to v1, none of the
+    rank-1 variant's tail-page DMA hazards. ``rank1_append=True`` selects
+    the in-kernel rank-1 online-softmax append instead (interpret-mode
+    only until the v5e hang is root-caused — see the gate below).
     """
     cfg = cache.config
     b, qh, d = q.shape
@@ -895,6 +904,28 @@ def paged_attention_pipelined(
     quantized = cfg.quantized
     int4 = cfg.dtype == "int4"
     append = new_kv is not None
+    if append and not rank1_append:
+        import dataclasses as _dc
+
+        kn, vn = new_kv
+        kp_, vp_, ks_, vs_ = fused_append(
+            cache, slots, kn, vn, interpret=interpret
+        )
+        kw = dict(
+            k_pages=kp_, v_pages=vp_,
+            lengths=cache.lengths.at[slots].add(1),
+        )
+        if ks_ is not None:
+            kw["k_scales"], kw["v_scales"] = ks_, vs_
+        cache = _dc.replace(cache, **kw)
+        out = paged_attention_pipelined(
+            q, cache, slots, radius=radius, positions=positions,
+            scale=scale, chunk_pages=chunk_pages, return_lse=return_lse,
+            interpret=interpret,
+        )
+        if return_lse:
+            return out[0], out[1], cache
+        return out, cache
     if append and not (interpret or _interpret_default()):
         # The append variant hangs the v5e after (or while) executing —
         # reproduced both with aliased ANY-pool DMA writes AND with the
@@ -935,7 +966,7 @@ def paged_attention_pipelined(
         scalars += [pos // page, pos % page]
     n_prefetch = len(scalars)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec((1, kvh, g, d), lambda bi, *_: (bi, 0, 0, 0)),
         any_spec,

@@ -164,15 +164,22 @@ class Schedule:
         # as tracers) and on the CPU backend (eager ops would otherwise
         # round-trip the TPU tunnel per tile, ~30 ms each).
         cpu = _jax.devices("cpu")[0]
+        try:
+            with _jax.ensure_compile_time_eval(), _jax.default_device(cpu):
+                offs = set()
+                for i in range(self.num_q_blocks):
+                    for s in range(self.max_kv_steps):
+                        if not bool(self.step_needed(i, s)):
+                            continue
+                        offs.add(
+                            i * bq - int(self.kv_block_index(i, s)) * bkv)
+        except _jax.errors.TracerBoolConversionError:
+            # inside transforms where compile-time eval cannot escape the
+            # trace (e.g. shard_map) — fall back to the in-kernel mask
+            return None
+        if not offs:
+            return None
         with _jax.ensure_compile_time_eval(), _jax.default_device(cpu):
-            offs = set()
-            for i in range(self.num_q_blocks):
-                for s in range(self.max_kv_steps):
-                    if not bool(self.step_needed(i, s)):
-                        continue
-                    offs.add(i * bq - int(self.kv_block_index(i, s)) * bkv)
-            if not offs:
-                return None
             omin, omax = min(offs), max(offs)
             num_o = (omax - omin) // g + 1
             a = _np.arange(bq)[:, None]

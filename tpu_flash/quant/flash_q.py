@@ -122,7 +122,12 @@ def _q_fwd_kernel(
     v_quant: bool,
     k_scaled: bool,
     need_lse: bool = True,
+    bound_max: bool = False,
 ):
+    if bound_max:
+        kn_ref, *refs = refs  # (1, 8, bkv) scaled-K̂ norms (lane vector)
+    else:
+        kn_ref = None
     if q_quant:
         (q_ref, k_ref, v_ref, sq_ref, sk_ref, *rest) = refs
     elif k_scaled:
@@ -171,6 +176,14 @@ def _q_fwd_kernel(
             # becomes a bare exp2 with no extra elementwise work.
             sq_col = jnp.expand_dims(sq_ref[0, 0], -1) * LOG2E  # (bq, 1)
             sij = raw * sq_col * sk_row
+            if bound_max:
+                # Cauchy-Schwarz bound on |raw| per row; the positive
+                # per-row dequant factor rides along (see serving_attn /
+                # DESIGN.md §10-11). kn carries max_j ‖k̂_j‖·sk_j.
+                qop = (_fp8_upcast(q_ref[0]) if k.dtype != jnp.int8
+                       else q_ref[0]).astype(jnp.float32)
+                qb = jnp.sqrt(
+                    jnp.sum(qop * qop, axis=-1, keepdims=True)) * sq_col
         else:
             # Weight-only: dequant K to bf16 in-register, scale columns
             # (or not at all when the per-tensor K scale rides in Q).
@@ -179,6 +192,9 @@ def _q_fwd_kernel(
                 q_ref[0], kf, _NT_DIMS, preferred_element_type=jnp.float32
             )
             sij = raw * sk_row if k_scaled else raw
+            if bound_max:
+                qop = q_ref[0].astype(jnp.float32)
+                qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
 
         def _apply_mask(sij):
             kv_idx = sched.kv_block_index(i, s)
@@ -192,7 +208,10 @@ def _q_fwd_kernel(
         def _update(sij):
             m_prev = m_scr[:, :1]
             l_prev = l_scr[:, :1]
-            m_curr = jnp.max(sij, axis=-1, keepdims=True)
+            if bound_max:
+                m_curr = qb * (jnp.max(kn_ref[0][:1]) * 1.0001)
+            else:
+                m_curr = jnp.max(sij, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(sij - m_next)
@@ -279,14 +298,27 @@ def _quantized_fwd(
     kv_map = lambda b, i, s, _s=sched: (kv_row(b), _s.kv_block_index(i, s), 0)
     kv_scale_map = lambda b, i, s, _s=sched: (
         kv_row(b), 0, _s.kv_block_index(i, s))
+    bh_kv = kq.values.shape[0]
+    nkv_pad = kq.values.shape[1]
+
+    # norm-bound max (DESIGN.md §10-11): per-token norms of the kernel's
+    # K operand × its score-column multiplier, streamed as a lane vector
+    bound_max = True
+    kf32 = (kq.values if kq.values.dtype == jnp.int8
+            else _fp8_upcast_exact(kq.values)).astype(jnp.float32)
+    kn = jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1))
+    if k_scaled:
+        kn = kn * kq.scales.reshape(bh_kv, nkv_pad)
+    kn = jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, nkv_pad))
 
     in_specs = [
+        pl.BlockSpec((1, 8, bkv), lambda b, i, s, _s=sched: (
+            kv_row(b), 0, _s.kv_block_index(i, s))),
         pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
         pl.BlockSpec((1, bkv, d), kv_map),
         pl.BlockSpec((1, bkv, dv), kv_map),
     ]
-    inputs = [q_vals, kq.values, v_vals]
-    bh_kv = kq.values.shape[0]
+    inputs = [kn, q_vals, kq.values, v_vals]
     if q_quant:
         in_specs.append(pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)))
         inputs.append(qq.scales.reshape(bh, 1, nq_pad))
@@ -306,6 +338,7 @@ def _quantized_fwd(
         v_quant=v_quant,
         k_scaled=k_scaled,
         need_lse=need_lse,
+        bound_max=bound_max,
     )
     if need_lse:
         lse_spec = pl.BlockSpec((1, bq, _LANES), lambda b, i, s: (b, i, 0))
