@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--dtype", default="float8_e4m3fn",
                     choices=["float8_e4m3fn", "float8_e5m2", "int8", "bf16"])
     ap.add_argument("--mode", default="serving", choices=["serving", "e2e"])
+    ap.add_argument("--kv-split", type=int, default=None,
+                    help="serving-kernel kv sub-tiling (MXU/VPU overlap); "
+                         "default: the kernel's tuned default")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -103,8 +106,10 @@ def main() -> None:
 
             kq, vq = jax.block_until_ready(jax.jit(functools.partial(
                 quantize_kv_cache, kv_dtype=dt, kv_scale=kv_scale))(k, v))
+            sv_kw = {} if args.kv_split is None else {
+                "kv_split": args.kv_split}
             fn = jax.jit(functools.partial(
-                serving_flash_attention, q_dtype=dt))
+                serving_flash_attention, q_dtype=dt, **sv_kw))
             bench_args = (q, kq, vq)
         else:
             fn = e2e_fn

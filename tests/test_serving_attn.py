@@ -111,3 +111,26 @@ def test_serving_pv_quant_error(rng):
     o_ref, _ = oracle.dense_dpa(q, k, v)
     err2 = float(jnp.max(jnp.abs(o_pv8.astype(jnp.float32) - o_ref)))
     assert err2 <= 0.08, err2
+
+
+@pytest.mark.parametrize("q_dtype,kv_dtype", [
+    ("int8", "int8"),
+    ("float8_e4m3fn", "float8_e4m3fn"),
+    (None, "int8"),
+])
+@pytest.mark.parametrize("schedule", ["dense", "causal"])
+def test_serving_kv_split(rng, q_dtype, kv_dtype, schedule):
+    """kv_split sub-tiling (MXU/VPU overlap) only reassociates the per-step
+    PV sum — outputs match the unsplit kernel to f32 accumulation noise."""
+    q, k, v = _qkv(rng, 1, 2, 512, 64)
+    kq, vq = quantize_kv_cache(k, v, kv_dtype, kv_scale="token")
+    blk = dict(block_q=128, block_kv=256)
+    kw = dict(q_dtype=q_dtype, schedule=schedule, **blk)
+    o1 = serving_flash_attention(q, kq, vq, kv_split=1, **kw)
+    o2 = serving_flash_attention(q, kq, vq, kv_split=2, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o1, np.float32), np.asarray(o2, np.float32),
+        atol=2e-3, rtol=1e-3,
+    )
+    with pytest.raises(ValueError):
+        serving_flash_attention(q, kq, vq, kv_split=3, **kw)

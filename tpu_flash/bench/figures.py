@@ -119,6 +119,60 @@ def main() -> None:
         fig.savefig(path, dpi=150, bbox_inches="tight")
         print(f"wrote {path}")
 
+    # Devices scaling — sequence-sharded decode tokens/s vs shard count on
+    # the virtual CPU mesh (scripts/r2_shards_scaling.py). The reference's
+    # other scaling axis (threads); here the mesh seq axis. CPU wall-clock:
+    # the curve SHAPE (overhead at fixed context, near-flat step time at
+    # fixed per-shard context) is the claim, not the absolute numbers.
+    sh = _load(os.path.join(args.logs, "shards_scaling.jsonl"))
+    if sh:
+        fig, (axl, axr) = plt.subplots(1, 2, figsize=(10, 4))
+        # Left: decode tokens/s at FIXED TOTAL context — measures the pure
+        # cost of sharding (shard_map dispatch + lse-merge collectives),
+        # since per-shard work shrinks as 1/S.
+        fixed = {
+            "bf16 cache": lambda r: r["dtype"] == "bfloat16"
+            and r["prompt_len"] == 128,
+            "int8 cache": lambda r: r["dtype"] == "int8",
+        }
+        for label, pred in fixed.items():
+            pts = sorted(((r["shards"], r["tok_s"]) for r in sh if pred(r)))
+            if pts:
+                axl.plot(*zip(*pts), marker="o", markersize=5, lw=2,
+                         label=label)
+        axl.set_xscale("log", base=2)
+        axl.set_xlabel("sequence shards")
+        axl.set_ylabel("decode tokens/s (batch 4)")
+        axl.set_title("Fixed total context (overhead regime)", fontsize=10)
+        axl.set_ylim(bottom=0)
+        axl.grid(True, which="both", alpha=0.25)
+        axl.legend(fontsize=8)
+        # Right: FIXED PER-SHARD context. The virtual mesh runs all shards
+        # serially on one host, so wall-clock sums the shards; divide by S
+        # to emulate the per-device step time real hardware would pipeline.
+        # Near-flat ⇒ the sharding sustains S× longer context at ~constant
+        # per-device step cost (the long-context regime it exists for).
+        pts = sorted(
+            ((r["shards"], r["ms_step"] / r["shards"]) for r in sh
+             if r["dtype"] == "bfloat16"
+             and r["prompt_len"] == 128 * r["shards"] and r["shards"] > 1))
+        if pts:
+            axr.plot(*zip(*pts), marker="o", markersize=5, lw=2,
+                     color="tab:green")
+        axr.set_xscale("log", base=2)
+        axr.set_xlabel("sequence shards (context = 128 × shards)")
+        axr.set_ylabel("emulated per-device ms/step")
+        axr.set_title("Fixed per-shard context (long-context regime)",
+                      fontsize=10)
+        axr.set_ylim(bottom=0)
+        axr.grid(True, which="both", alpha=0.25)
+        fig.suptitle("Seq-sharded decode scaling — virtual CPU mesh "
+                     "(curve shape, not absolute perf)", fontsize=11)
+        fig.tight_layout()
+        path = os.path.join(args.out, "devices_scaling.png")
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        print(f"wrote {path}")
+
 
 if __name__ == "__main__":
     main()

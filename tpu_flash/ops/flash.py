@@ -144,26 +144,37 @@ def _fwd_kernel(
         # schedules (dense bq=bkv=512 measures 58 TFLOP/s vs 153 at
         # bkv=2048 with identical total flops).
         unm = sched.block_unmasked(i, s) if sched.has_mask else None
-        for bb in range(bh_block):
-            sij = lax.dot_general(
+
+        def _qk(bb):
+            return lax.dot_general(
                 q_ref[bb], k_ref[bb], _NT_DIMS,
                 preferred_element_type=jnp.float32,
             )
-            if not sched.has_mask or unm is True:
-                # statically mask-free (dense / full-section block-diag)
-                _update(sij, bb)
-            elif unm is None:
-                _update(_masked_scores(sij), bb)
-            else:
-                # interior-block fast path: tiles fully inside the
-                # visible region skip the mask work entirely.
-                @pl.when(unm)
-                def _unmasked(sij=sij, bb=bb):
-                    _update(sij, bb)
 
-                @pl.when(jnp.logical_not(unm))
-                def _masked(sij=sij, bb=bb):
-                    _update(_masked_scores(sij), bb)
+        def _run(masked):
+            # Software-pipelined over the bh rows: row bb+1's QKᵀ is issued
+            # before row bb's softmax/PV chain, so the MXU dot of the next
+            # independent tile can overlap the VPU online-softmax of the
+            # current one (the dot → softmax → dot chain is what pins small
+            # tiles at the ~2 µs latency floor, DESIGN §12).
+            s_next = _qk(0)
+            for bb in range(bh_block):
+                sij = s_next
+                if bb + 1 < bh_block:
+                    s_next = _qk(bb + 1)
+                _update(_masked_scores(sij) if masked else sij, bb)
+
+        if not sched.has_mask or unm is True:
+            # statically mask-free (dense / full-section block-diag)
+            _run(False)
+        elif unm is None:
+            _run(True)
+        else:
+            # interior-block fast path: tiles fully inside the visible
+            # region skip the mask work entirely. `unm` is per-step (not
+            # per-row), so one predicated region covers the whole bh loop.
+            pl.when(unm)(lambda: _run(False))
+            pl.when(jnp.logical_not(unm))(lambda: _run(True))
 
     @pl.when(s == num_steps - 1)
     def _finish():

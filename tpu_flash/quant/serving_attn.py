@@ -66,6 +66,7 @@ def _sv_kernel(
     scale: float,
     pv_quant: bool = False,
     bound_max: bool = False,
+    kv_split: int = 1,
 ):
     it = iter(refs)
     kn_ref = next(it) if bound_max else None  # (1,8,bkv) scaled k̂ norms
@@ -127,53 +128,21 @@ def _sv_kernel(
                 qb = qb * qs_scr[:, :1]
             qb_scr[...] = jnp.broadcast_to(qb, qb_scr.shape)
 
-    def _apply_mask(sij):
+    def _apply_mask(sij, off, w):
         kv_idx = sched.kv_block_index(i, s)
-        q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-        k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, w), 0)
+        k_pos = (kv_idx * bkv + off
+                 + lax.broadcasted_iota(jnp.int32, (bq, w), 1))
         mask = sched.mask(q_pos, k_pos)
         if mask is not None:
             sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
         return sij
 
-    def _update(sij):
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        if bound_max:
-            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
-            m_curr = qb_scr[:, :1] * kmax
-        else:
-            m_curr = jnp.max(sij, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(sij - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0]
-        if pv_quant:
-            # P ∈ [0, 1] after the base-2 exp (every element ≤ the running
-            # max's exp2(0) = 1), so a STATIC ×127 scale quantizes it with
-            # no amax pass; the PV dot then rides the 2× int8 MXU path
-            # against the int8 V̂ pages, and the 1/127 folds into one
-            # (bq, dv) multiply. Adds ~1/254-per-element P rounding noise —
-            # see docs/DESIGN.md §int8 for the measured error behavior.
-            p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
-            pv = lax.dot_general(
-                p8, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
-        else:
-            vf = _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
-            pv = lax.dot_general(
-                p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc_scr[...] = acc_scr[...] * alpha + pv
+    csz = bkv // kv_split  # sub-tile width along kv
 
-    @pl.when(sched.step_needed(i, s))
-    def _step():
-        k = k_ref[0]
+    def _qk(j):
+        """Score sub-tile j: (bq, csz) — pure value, no scratch writes."""
+        k = k_ref[0, j * csz:(j + 1) * csz]
         if q_mode == "int8":
             raw = lax.dot_general(
                 q_scr[...], k, _NT_DIMS, preferred_element_type=jnp.int32
@@ -190,21 +159,76 @@ def _sv_kernel(
                 q_scr[...], kf, _NT_DIMS, preferred_element_type=jnp.float32
             )
         if k_scaled:
-            sij = sij * sk_ref[0, 0].reshape(1, bkv)
+            sij = sij * sk_ref[0, 0, j * csz:(j + 1) * csz].reshape(1, csz)
+        return sij
 
+    def _pv(p, j):
+        """P·V for sub-tile j against V rows [j·csz, (j+1)·csz)."""
+        v = v_ref[0, j * csz:(j + 1) * csz]
+        if pv_quant:
+            # P ∈ [0, 1] after the base-2 exp (every element ≤ the running
+            # max's exp2(0) = 1), so a STATIC ×127 scale quantizes it with
+            # no amax pass; the PV dot then rides the 2× int8 MXU path
+            # against the int8 V̂ pages, and the 1/127 folds into one
+            # (bq, dv) multiply. Adds ~1/254-per-element P rounding noise —
+            # see docs/DESIGN.md §int8 for the measured error behavior.
+            p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+            return lax.dot_general(
+                p8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+        vf = _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
+        return lax.dot_general(
+            p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _update(masked):
+        # kv_split > 1 breaks the step's kv tile into sub-tiles whose
+        # exp2/PV chains are mutually independent once m_next is known
+        # (immediately under bound_max; after the cheap per-sub-tile maxes
+        # otherwise), so the MXU dot of sub-tile j+1 can run under the VPU
+        # softmax of sub-tile j instead of the whole dot → exp2 → dot
+        # chain serializing (the kernel is VPU-bound, DESIGN §11). All
+        # QK dots are staged as pure values before any exp2 is consumed;
+        # scratch is read/written exactly once per step.
+        sijs = [_qk(j) for j in range(kv_split)]
+        if masked:
+            sijs = [_apply_mask(sij, j * csz, csz) for j, sij in
+                    enumerate(sijs)]
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        if bound_max:
+            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
+            m_curr = qb_scr[:, :1] * kmax
+        else:
+            m_curr = jnp.max(sijs[0], axis=-1, keepdims=True)
+            for sij in sijs[1:]:
+                m_curr = jnp.maximum(
+                    m_curr, jnp.max(sij, axis=-1, keepdims=True))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        ps = [jnp.exp2(sij - m_next) for sij in sijs]
+        l_next = alpha * l_prev
+        for p in ps:
+            l_next = l_next + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+        acc = acc_scr[...] * alpha
+        for j, p in enumerate(ps):
+            acc = acc + _pv(p, j)
+        acc_scr[...] = acc
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
         unm = sched.block_unmasked(i, s) if sched.has_mask else None
         if not sched.has_mask or unm is True:
-            _update(sij)
+            _update(False)
         elif unm is None:
-            _update(_apply_mask(sij))
+            _update(True)
         else:
-            @pl.when(unm)
-            def _unmasked():
-                _update(sij)
-
-            @pl.when(jnp.logical_not(unm))
-            def _masked():
-                _update(_apply_mask(sij))
+            pl.when(unm)(lambda: _update(False))
+            pl.when(jnp.logical_not(unm))(lambda: _update(True))
 
     @pl.when(s == num_steps - 1)
     def _finish():
@@ -238,6 +262,7 @@ def serving_flash_attention(
     block_kv: int = 2048,
     pv_quant: bool = False,
     bound_max: Optional[bool] = None,
+    kv_split: int = 1,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -248,6 +273,13 @@ def serving_flash_attention(
     docs/DESIGN.md §10). Defaults to True except under ``pv_quant`` (whose
     static ×127 P scale needs the true max). Measured v5e gains @8k d=128:
     int8 148→167, fp8-token 128→155, fp8-tensor 150→155 TFLOP/s.
+
+    ``kv_split`` splits each kv block into that many sub-tiles whose QKᵀ
+    dots are all staged before any softmax work, letting Mosaic overlap
+    sub-tile j+1's MXU dot with sub-tile j's VPU exp2 pass (the kernel is
+    otherwise VPU-bound; docs/DESIGN.md §11). Numerically it reassociates
+    the per-step PV sum only — the online-softmax state is updated once
+    per step either way.
 
     ``pv_quant=True`` additionally quantizes the probability matrix to
     int8 with a static ×127 scale so the PV product runs on the int8 MXU
@@ -368,11 +400,15 @@ def serving_flash_attention(
     if bound_max:
         scratch.append(pltpu.VMEM((bq, _LANES), jnp.float32))
 
+    if kv_split < 1 or bkv % kv_split or (bkv // kv_split) % 128:
+        raise ValueError(
+            f"kv_split={kv_split} must divide block_kv={bkv} into "
+            "128-aligned sub-tiles")
     kernel = functools.partial(
         _sv_kernel, sched=sched, num_steps=sched.max_kv_steps,
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
         need_lse=return_lse, scale=scale, pv_quant=pv_quant,
-        bound_max=bound_max,
+        bound_max=bound_max, kv_split=kv_split,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
     o, lse = pl.pallas_call(
