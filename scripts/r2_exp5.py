@@ -85,6 +85,26 @@ def main():
                 sliding_fa, radius=512, block_q=bq, block_kv=bkv))
             bench(f"B.sliding.w1025.bq{bq}.bkv{bkv}", fn, (q, k, v), fl)
 
+    if which in ("all", "D"):
+        log("=== D: backward split staging A/B @8k d=128 ===")
+        from tpu_flash.ops import flash_bwd
+        q, k, v = mk(b, h, n, d)
+        fl_bwd = fl * 2.5  # fwd + bwd (recompute) flop model
+
+        def make_loss(bq, bkv):
+            def loss(q, k, v):
+                return jnp.sum(dense_fa(q, k, v, block_q=bq, block_kv=bkv)
+                               .astype(jnp.float32))
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+        for split in (1, 2, 4):
+            flash_bwd.DEFAULT_SPLIT = split
+            g = make_loss(1024, 2048)
+            bench(f"D.bwd.split{split}.bq1024.bkv2048", g, (q, k, v), fl_bwd)
+            g = make_loss(512, 1024)
+            bench(f"D.bwd.split{split}.bq512.bkv1024", g, (q, k, v), fl_bwd)
+        flash_bwd.DEFAULT_SPLIT = 1
+
     if which in ("all", "C"):
         log("=== C: e2e quantized regression check ===")
         from tpu_flash.quant.flash_q import quantized_dense_fa

@@ -148,3 +148,23 @@ def test_windowed_grad(rng):
         np.testing.assert_allclose(
             a, b, atol=3e-4, rtol=1e-3, err_msg=f"d{name} mismatch"
         )
+
+
+@pytest.mark.parametrize("schedule_kw", [
+    {},                       # dense
+    {"causal": True},         # masked path exercises per-sub-tile iota
+])
+def test_dense_grad_bwd_split(rng, schedule_kw, monkeypatch):
+    """DEFAULT_SPLIT=2 sub-tile staging in the d=128 backward kernels is a
+    pure reassociation: grads still match the oracle."""
+    from tpu_flash.ops import flash_bwd
+
+    monkeypatch.setattr(flash_bwd, "DEFAULT_SPLIT", 2)
+    q, k, v = _qkv(rng, 1, 2, 512, 128)
+    blk = dict(block_q=256, block_kv=256)
+    _check_grads(
+        lambda q, k, v: flash.dense_fa(q, k, v, **blk, **schedule_kw),
+        lambda q, k, v: oracle.dense_dpa(q, k, v, **schedule_kw)[0],
+        q, k, v,
+        atol=1e-3,
+    )

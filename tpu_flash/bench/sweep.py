@@ -352,7 +352,8 @@ def suite_softmax(quick: bool) -> list[dict]:
 # ---------------------------------------------------------------------------
 # decode (continuous batching; tokens/s; no reference analog — north star)
 # ---------------------------------------------------------------------------
-def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> list[dict]:
+def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16",
+                 pipelined: bool = False) -> list[dict]:
     from tpu_flash.cache.paged_cache import CacheConfig
     from tpu_flash.models import transformer as tfm
     from tpu_flash.serving.engine import Engine, EngineConfig, Request
@@ -377,7 +378,8 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> l
     params = tfm.init_params(jax.random.PRNGKey(0), mcfg)
     if weight_dtype == "int8":
         params = tfm.quantize_weights(params)
-    eng = Engine(params, mcfg, ccfg, EngineConfig(max_batch=16))
+    eng = Engine(params, mcfg, ccfg,
+                 EngineConfig(max_batch=16, pipelined_decode=pipelined))
 
     rng = np.random.default_rng(0)
     n_req, gen = (8, 32) if quick else (24, 96)
@@ -413,7 +415,7 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> l
     step = jax.jit(
         lambda params, caches, tokens, positions: tfm.decode_step(
             params, tokens, positions, caches, slots, mcfg,
-            pages_bound=bound),
+            pages_bound=bound, pipelined=pipelined),
         donate_argnums=(1,),
     )
 
@@ -442,7 +444,8 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16") -> l
     log(f"  device decode step: {sec*1e3:.2f} ms for batch 16 "
         f"→ {dev_tps:.0f} tok/s/chip")
     return [{
-        "name": f"decode_{cache_dtype}_w{weight_dtype}",
+        "name": f"decode_{cache_dtype}_w{weight_dtype}"
+                + ("_pipelined" if pipelined else ""),
         "tokens_per_s_e2e": round(tps, 1),
         "tokens_per_s_device": round(dev_tps, 1),
         "decode_step_ms": round(sec * 1e3, 3),
@@ -459,6 +462,8 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cache-dtype", default="int8")
     ap.add_argument("--weight-dtype", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--pipelined", action="store_true",
+                    help="decode suite: use the hand-pipelined decode kernel")
     args = ap.parse_args()
 
     log(f"device: {device_peaks()['kind']}")
@@ -472,7 +477,8 @@ def main() -> None:
         emit(suite_softmax(args.quick), "softmax")
     if args.suite in ("decode", "all"):
         emit(suite_decode(args.cache_dtype, args.quick,
-                          weight_dtype=args.weight_dtype), "decode")
+                          weight_dtype=args.weight_dtype,
+                          pipelined=args.pipelined), "decode")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,10 @@ from tpu_flash.ops.schedule import Schedule
 
 _LANES = 128
 
+# Global default for the d=128 kernels' sub-tile staging (see flash_backward
+# ``split``). 1 = unsplit; flipped after hardware A/B if staging wins.
+DEFAULT_SPLIT = 1
+
 _NT = (((1,), (1,)), ((), ()))  # (m,d)x(n,d) -> (m,n)
 _NN = (((1,), (0,)), ((), ()))  # (m,k)x(k,n) -> (m,n)
 _TN = (((0,), (0,)), ((), ()))  # (k,m)x(k,n) -> (m,n)
@@ -43,11 +47,12 @@ _TN = (((0,), (0,)), ((), ()))  # (k,m)x(k,n) -> (m,n)
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
-    *, sched: Schedule, num_steps: int,
+    *, sched: Schedule, num_steps: int, split: int = 1,
 ):
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
+    csz = bkv // split
 
     @pl.when(s == 0)
     def _init():
@@ -56,31 +61,48 @@ def _dq_kernel(
     @pl.when(sched.step_needed(i, s))
     def _step():
         q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
         lse = jnp.expand_dims(lse_ref[0, 0], -1)  # (bq, 1)
         delta = jnp.expand_dims(delta_ref[0, 0], -1)
         do = do_ref[0]
 
-        sij = lax.dot_general(q, k, _NT, preferred_element_type=jnp.float32)
-        if sched.has_mask:
-            kv_idx = sched.kv_block_index(i, s)
-            q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-            mask = sched.mask(q_pos, k_pos)
-            if mask is not None:
-                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+        # split > 1 sub-tiles the kv block: lse/delta are precomputed
+        # inputs, so each sub-tile's QK → exp2 → dp → ds → dq chain is
+        # independent and the MXU dots of sub-tile h+1 can run under the
+        # VPU exp2/ds passes of sub-tile h (same staging as the forward's
+        # kv_split; the accumulator is updated once per step).
+        def _sij(h):
+            k = k_ref[0, h * csz:(h + 1) * csz]
+            sij = lax.dot_general(
+                q, k, _NT, preferred_element_type=jnp.float32)
+            if sched.has_mask:
+                kv_idx = sched.kv_block_index(i, s)
+                q_pos = i * bq + lax.broadcasted_iota(
+                    jnp.int32, (bq, csz), 0)
+                k_pos = (kv_idx * bkv + h * csz
+                         + lax.broadcasted_iota(jnp.int32, (bq, csz), 1))
+                mask = sched.mask(q_pos, k_pos)
+                if mask is not None:
+                    sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+            return sij
+
+        sijs = [_sij(h) for h in range(split)]
         # q carries the forward's scale*log2e factor: sij is in base-2
         # units while lse is natural — rescale lse, exp2, and put the ln2
         # chain-rule factor on the final dq write (dL/dq_b2 = ln2*dS@k).
-        p = jnp.exp2(sij - lse * LOG2E)
-        dp = lax.dot_general(
-            do.astype(v.dtype), v, _NT, preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)
-        dq_acc[...] += lax.dot_general(
-            ds.astype(k.dtype), k, _NN, preferred_element_type=jnp.float32
-        )
+        ps = [jnp.exp2(sij - lse * LOG2E) for sij in sijs]
+        dps = [
+            lax.dot_general(
+                do.astype(v_ref.dtype), v_ref[0, h * csz:(h + 1) * csz],
+                _NT, preferred_element_type=jnp.float32)
+            for h in range(split)
+        ]
+        acc = dq_acc[...]
+        for h in range(split):
+            ds = ps[h] * (dps[h] - delta)
+            acc = acc + lax.dot_general(
+                ds.astype(k_ref.dtype), k_ref[0, h * csz:(h + 1) * csz],
+                _NN, preferred_element_type=jnp.float32)
+        dq_acc[...] = acc
 
     @pl.when(s == num_steps - 1)
     def _finish():
@@ -89,11 +111,12 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, sched: Schedule, num_steps: int,
+    dk_acc, dv_acc, *, sched: Schedule, num_steps: int, split: int = 1,
 ):
     j = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
+    csz = bq // split
 
     @pl.when(s == 0)
     def _init():
@@ -103,31 +126,56 @@ def _dkv_kernel(
     @pl.when(sched.q_step_needed(j, s))
     def _step():
         q_idx = sched.q_block_index(j, s)
-        q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        lse = jnp.expand_dims(lse_ref[0, 0], -1)
-        delta = jnp.expand_dims(delta_ref[0, 0], -1)
-        do = do_ref[0]
 
-        sij = lax.dot_general(q, k, _NT, preferred_element_type=jnp.float32)
-        if sched.has_mask:
-            q_pos = q_idx * bq + lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
-            k_pos = j * bkv + lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
-            mask = sched.mask(q_pos, k_pos)
-            if mask is not None:
-                sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
-        p = jnp.exp2(sij - lse * LOG2E)  # (bq, bkv); base-2 sij, see dq
-        dv_acc[...] += lax.dot_general(
-            p.astype(do.dtype), do, _TN, preferred_element_type=jnp.float32
-        )
-        dp = lax.dot_general(
-            do.astype(v.dtype), v, _NT, preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - delta)  # (bq, bkv)
-        dk_acc[...] += lax.dot_general(
-            ds.astype(q.dtype), q, _TN, preferred_element_type=jnp.float32
-        )
+        # split > 1 sub-tiles the Q block (the non-accumulated axis here):
+        # per-sub-tile chains are independent given the precomputed
+        # lse/delta rows — same staging rationale as _dq_kernel.
+        def _sij(h):
+            q = q_ref[0, h * csz:(h + 1) * csz]
+            sij = lax.dot_general(
+                q, k, _NT, preferred_element_type=jnp.float32)
+            if sched.has_mask:
+                q_pos = (q_idx * bq + h * csz
+                         + lax.broadcasted_iota(jnp.int32, (csz, bkv), 0))
+                k_pos = j * bkv + lax.broadcasted_iota(
+                    jnp.int32, (csz, bkv), 1)
+                mask = sched.mask(q_pos, k_pos)
+                if mask is not None:
+                    sij = jnp.where(mask, sij, DEFAULT_MASK_VALUE)
+            return sij
+
+        sijs = [_sij(h) for h in range(split)]
+        lses = [
+            jnp.expand_dims(lse_ref[0, 0, h * csz:(h + 1) * csz], -1)
+            for h in range(split)
+        ]
+        deltas = [
+            jnp.expand_dims(delta_ref[0, 0, h * csz:(h + 1) * csz], -1)
+            for h in range(split)
+        ]
+        dos = [do_ref[0, h * csz:(h + 1) * csz] for h in range(split)]
+        ps = [jnp.exp2(sijs[h] - lses[h] * LOG2E) for h in range(split)]
+        dv_new = dv_acc[...]
+        for h in range(split):
+            dv_new = dv_new + lax.dot_general(
+                ps[h].astype(dos[h].dtype), dos[h], _TN,
+                preferred_element_type=jnp.float32)
+        dv_acc[...] = dv_new
+        dps = [
+            lax.dot_general(
+                dos[h].astype(v.dtype), v, _NT,
+                preferred_element_type=jnp.float32)
+            for h in range(split)
+        ]
+        dk_new = dk_acc[...]
+        for h in range(split):
+            ds = ps[h] * (dps[h] - deltas[h])
+            dk_new = dk_new + lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[0, h * csz:(h + 1) * csz],
+                _TN, preferred_element_type=jnp.float32)
+        dk_acc[...] = dk_new
 
     @pl.when(s == num_steps - 1)
     def _finish():
@@ -347,7 +395,8 @@ def _flash_backward_t(
 
 
 def flash_backward(
-    q, k, v, o, lse, do, dlse, sched: Schedule, *, interpret: bool
+    q, k, v, o, lse, do, dlse, sched: Schedule, *, interpret: bool,
+    split: int | None = None,
 ):
     """Compute (dq, dk, dv) on padded (BH, n_pad, d) arrays.
 
@@ -360,6 +409,14 @@ def flash_backward(
     nkv_pad = k.shape[1]
     dv_dim = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
+    if split is None:
+        split = DEFAULT_SPLIT
+    if split < 1 or (split > 1 and (
+            bkv % split or bq % split
+            or (bkv // split) % 128 or (bq // split) % 128)):
+        raise ValueError(
+            f"split={split} must divide block_q={bq} and block_kv={bkv} "
+            "into 128-aligned sub-tiles")
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if dlse is not None:
@@ -383,7 +440,8 @@ def flash_backward(
     # ---- dQ: Q-major grid, forward schedule.
     dq_steps = sched.max_kv_steps
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, sched=sched, num_steps=dq_steps),
+        functools.partial(_dq_kernel, sched=sched, num_steps=dq_steps,
+                          split=split),
         grid=(bh, num_q_blocks, dq_steps),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
@@ -411,7 +469,8 @@ def flash_backward(
     # ---- dK/dV: KV-major grid, transposed schedule.
     dkv_steps = sched.max_q_steps
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, sched=sched, num_steps=dkv_steps),
+        functools.partial(_dkv_kernel, sched=sched, num_steps=dkv_steps,
+                          split=split),
         grid=(bh, num_kv_blocks, dkv_steps),
         in_specs=[
             pl.BlockSpec(
