@@ -82,7 +82,7 @@ def main():
         bench("B.dense.bf16.bq1024.bkv2048", fn, (q, k, v), fl)
         for bq, bkv in [(512, 512), (256, 256), (512, 1024)]:
             fn = jax.jit(functools.partial(
-                sliding_fa, radius=512, block_q=bq, block_kv=bkv))
+                sliding_fa, window_size=1025, block_q=bq, block_kv=bkv))
             bench(f"B.sliding.w1025.bq{bq}.bkv{bkv}", fn, (q, k, v), fl)
 
     if which in ("all", "D"):
@@ -91,19 +91,19 @@ def main():
         q, k, v = mk(b, h, n, d)
         fl_bwd = fl * 2.5  # fwd + bwd (recompute) flop model
 
-        def make_loss(bq, bkv):
+        def make_loss(bq, bkv, split):
             def loss(q, k, v):
-                return jnp.sum(dense_fa(q, k, v, block_q=bq, block_kv=bkv)
-                               .astype(jnp.float32))
+                return jnp.sum(
+                    dense_fa(q, k, v, block_q=bq, block_kv=bkv,
+                             bwd_split=split).astype(jnp.float32))
             return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
+        del flash_bwd  # split is plumbed via the bwd_split kwarg now
         for split in (1, 2, 4):
-            flash_bwd.DEFAULT_SPLIT = split
-            g = make_loss(1024, 2048)
+            g = make_loss(1024, 2048, split)
             bench(f"D.bwd.split{split}.bq1024.bkv2048", g, (q, k, v), fl_bwd)
-            g = make_loss(512, 1024)
+            g = make_loss(512, 1024, split)
             bench(f"D.bwd.split{split}.bq512.bkv1024", g, (q, k, v), fl_bwd)
-        flash_bwd.DEFAULT_SPLIT = 1
 
     if which in ("all", "C"):
         log("=== C: e2e quantized regression check ===")

@@ -154,14 +154,12 @@ def test_windowed_grad(rng):
     {},                       # dense
     {"causal": True},         # masked path exercises per-sub-tile iota
 ])
-def test_dense_grad_bwd_split(rng, schedule_kw, monkeypatch):
-    """DEFAULT_SPLIT=2 sub-tile staging in the d=128 backward kernels is a
-    pure reassociation: grads still match the oracle."""
-    from tpu_flash.ops import flash_bwd
-
-    monkeypatch.setattr(flash_bwd, "DEFAULT_SPLIT", 2)
+def test_dense_grad_bwd_split(rng, schedule_kw):
+    """split=2 sub-tile staging in the d=128 backward kernels is a pure
+    reassociation: grads still match the oracle. Exercises the bwd_split
+    kwarg plumbing (flash_attention → _fa nondiff arg → flash_backward)."""
     q, k, v = _qkv(rng, 1, 2, 512, 128)
-    blk = dict(block_q=256, block_kv=256)
+    blk = dict(block_q=256, block_kv=256, bwd_split=2)
     _check_grads(
         lambda q, k, v: flash.dense_fa(q, k, v, **blk, **schedule_kw),
         lambda q, k, v: oracle.dense_dpa(q, k, v, **schedule_kw)[0],

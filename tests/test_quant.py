@@ -50,6 +50,19 @@ def test_quantized_dense_matches_matched_oracle(rng, q_dtype, kv_dtype):
     assert err <= bound, f"max-abs {err} vs matched oracle"
 
 
+@pytest.mark.parametrize("q_dtype", ["int8", None])
+def test_quantized_bound_max_off_matches_on(rng, q_dtype):
+    """bound_max=False (measured score-tile max) and True (Cauchy–Schwarz
+    norm bound) are both exact online softmax — same result to fp tolerance."""
+    q, k, v = _qkv(rng, 1, 2, 256, 64)
+    kw = dict(q_dtype=q_dtype, kv_dtype="int8", **_BLK)
+    o_on = flash_q.quantized_dense_fa(q, k, v, bound_max=True, **kw)
+    o_off = flash_q.quantized_dense_fa(q, k, v, bound_max=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o_on, np.float32), np.asarray(o_off, np.float32),
+        atol=2e-3, rtol=1e-2)
+
+
 @pytest.mark.parametrize("q_dtype", ["float8_e4m3fn", None])
 def test_quantized_dense_tensor_scale_matches_matched_oracle(rng, q_dtype):
     """kv_scale='tensor' (per-(batch,head) K scale folded into Q) must meet

@@ -133,7 +133,8 @@ def main() -> None:
         fixed = {
             "bf16 cache": lambda r: r["dtype"] == "bfloat16"
             and r["prompt_len"] == 128,
-            "int8 cache": lambda r: r["dtype"] == "int8",
+            "int8 cache": lambda r: r["dtype"] == "int8"
+            and r["prompt_len"] == 128,
         }
         for label, pred in fixed.items():
             pts = sorted(((r["shards"], r["tok_s"]) for r in sh if pred(r)))

@@ -554,9 +554,10 @@ def _flash_fwd(
     return o, lse[..., 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
-        vmem_limit_mb=None):
+        vmem_limit_mb=None, bwd_split=None):
     """Differentiable core on padded (B·H, n_pad, d) arrays → (o, lse).
 
     The surrounding scaling / padding / halo-concat ops stay outside this
@@ -576,7 +577,7 @@ def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
 
 
 def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
-            vmem_limit_mb):
+            vmem_limit_mb, bwd_split):
     o, lse = _flash_fwd(q, k, v, sched, interpret=interpret,
                         out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=True,
                         vmem_limit_mb=vmem_limit_mb)
@@ -584,7 +585,7 @@ def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
 
 
 def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
-            res, cts):
+            bwd_split, res, cts):
     from tpu_flash.ops.flash_bwd import flash_backward
 
     q, k, v, o, lse = res
@@ -598,7 +599,7 @@ def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
         ).reshape(b * hq, n_pad, -1)
         k, v = expand(k), expand(v)
     dq, dk, dv = flash_backward(q, k, v, o, lse, do, dlse, sched,
-                                interpret=interpret)
+                                interpret=interpret, split=bwd_split)
     if g > 1:
         reduce = lambda x: x.reshape(b, hkv, g, n_pad, -1).sum(axis=2).reshape(
             b * hkv, n_pad, -1)
@@ -688,6 +689,7 @@ def flash_attention(
     q_dtype=None,
     kv_dtype=None,
     vmem_limit_mb: Optional[int] = None,
+    bwd_split: Optional[int] = None,
 ):
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
 
@@ -749,7 +751,7 @@ def flash_attention(
     vf = _pad_seq(vf, sched.n_kv_pad)
 
     o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv, return_lse,
-                 vmem_limit_mb)
+                 vmem_limit_mb, bwd_split)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
         return o, lse[:, :n_q].reshape(b, h, n_q)

@@ -38,6 +38,9 @@ _LANES = 128
 
 # Global default for the d=128 kernels' sub-tile staging (see flash_backward
 # ``split``). 1 = unsplit; flipped after hardware A/B if staging wins.
+# Read at TRACE time only — already-compiled grad fns keep their split; to
+# select per-call use flash_attention(..., bwd_split=) which is part of the
+# jit cache key.
 DEFAULT_SPLIT = 1
 
 _NT = (((1,), (1,)), ((), ()))  # (m,d)x(n,d) -> (m,n)
@@ -409,15 +412,6 @@ def flash_backward(
     nkv_pad = k.shape[1]
     dv_dim = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
-    if split is None:
-        split = DEFAULT_SPLIT
-    if split < 1 or (split > 1 and (
-            bkv % split or bq % split
-            or (bkv // split) % 128 or (bq // split) % 128)):
-        raise ValueError(
-            f"split={split} must divide block_q={bq} and block_kv={bkv} "
-            "into 128-aligned sub-tiles")
-
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
@@ -428,9 +422,19 @@ def flash_backward(
     delta3 = delta[:, None, :]
 
     if d <= 64 and dv_dim <= 64:
+        # the transposed kernels have no sub-tile staging; split is ignored
         return _flash_backward_t(
             q, k, v, lse3, delta3, sched, interpret=interpret, do=do
         )
+
+    if split is None:
+        split = DEFAULT_SPLIT
+    if split < 1 or (split > 1 and (
+            bkv % split or bq % split
+            or (bkv // split) % 128 or (bq // split) % 128)):
+        raise ValueError(
+            f"split={split} must divide block_q={bq} and block_kv={bkv} "
+            "into 128-aligned sub-tiles")
 
     num_q_blocks = sched.num_q_blocks
     num_kv_blocks = sched.num_kv_blocks

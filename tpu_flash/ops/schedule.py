@@ -173,28 +173,33 @@ class Schedule:
                             continue
                         offs.add(
                             i * bq - int(self.kv_block_index(i, s)) * bkv)
-        except _jax.errors.TracerBoolConversionError:
+                if not offs:
+                    return None
+                omin, omax = min(offs), max(offs)
+                num_o = (omax - omin) // g + 1
+                a = _np.arange(bq)[:, None]
+                b = _np.arange(bkv)[None, :]
+                pats = []
+                for lastflag in [False, True] if ragged else [False]:
+                    kstart = last_block * bkv if lastflag else 0
+                    for oi in range(num_o):
+                        o = omin + oi * g
+                        m = self.mask(
+                            jnp.asarray(kstart + o + a),
+                            jnp.asarray(kstart + b),
+                        )
+                        # masks that ignore one coordinate (e.g. the dense
+                        # kv-padding mask) come back partially broadcast
+                        pats.append(
+                            _np.broadcast_to(_np.asarray(m), (bq, bkv)))
+        except _jax.errors.ConcretizationTypeError:
             # inside transforms where compile-time eval cannot escape the
-            # trace (e.g. shard_map) — fall back to the in-kernel mask
+            # trace (e.g. shard_map) — fall back to the in-kernel mask.
+            # ConcretizationTypeError is the parent of all the
+            # tracer-leak flavors this can raise (bool conversion in
+            # step_needed, int conversion in kv_block_index, array
+            # conversion when self.mask stages jnp ops).
             return None
-        if not offs:
-            return None
-        with _jax.ensure_compile_time_eval(), _jax.default_device(cpu):
-            omin, omax = min(offs), max(offs)
-            num_o = (omax - omin) // g + 1
-            a = _np.arange(bq)[:, None]
-            b = _np.arange(bkv)[None, :]
-            pats = []
-            for lastflag in [False, True] if ragged else [False]:
-                kstart = last_block * bkv if lastflag else 0
-                for oi in range(num_o):
-                    o = omin + oi * g
-                    m = self.mask(
-                        jnp.asarray(kstart + o + a), jnp.asarray(kstart + b)
-                    )
-                    # masks that ignore one coordinate (e.g. the dense
-                    # kv-padding mask) come back partially broadcast
-                    pats.append(_np.broadcast_to(_np.asarray(m), (bq, bkv)))
         num_p = len(pats)
 
         def pid(i, s, _self=self):

@@ -108,6 +108,25 @@ def _fp8_upcast(x: jnp.ndarray) -> jnp.ndarray:
     return lax.bitcast_convert_type(bits.astype(jnp.int16), jnp.bfloat16)
 
 
+def scaled_k_norms(k_vals: jnp.ndarray, sk_row=None) -> jnp.ndarray:
+    """Per-token ‖K̂‖·σ_k lane vector for the norm-bound max (DESIGN §10-11).
+
+    fp8 is decoded with the SAME approximate upcast the kernel dots use
+    (:func:`_fp8_upcast`) so the Cauchy–Schwarz bound holds for the values
+    actually dotted — the exact decode yields smaller subnormal magnitudes
+    and could under-bound. ``k_vals``: (bh_kv, n, d) int8/fp8/float;
+    ``sk_row``: optional (bh_kv, n) per-token scales. Returns (bh_kv, n)
+    f32. Shared by flash_q and serving_attn so the preamble cannot drift
+    from the kernels.
+    """
+    kf32 = (_fp8_upcast(k_vals) if jnp.dtype(k_vals.dtype) in _F8
+            else k_vals).astype(jnp.float32)
+    kn = jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1))
+    if sk_row is not None:
+        kn = kn * sk_row
+    return kn
+
+
 def _to_bf16(x: jnp.ndarray) -> jnp.ndarray:
     if jnp.dtype(x.dtype) in _F8:
         return _fp8_upcast(x)
@@ -139,10 +158,11 @@ def _q_fwd_kernel(
         (q_ref, k_ref, v_ref, *rest) = refs
         sq_ref = sk_ref = None
     if v_quant:
-        (sv_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+        (sv_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *scr) = rest
     else:
-        (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+        (o_ref, lse_ref, m_scr, l_scr, acc_scr, *scr) = rest
         sv_ref = None
+    qb_scr = scr[0] if bound_max else None
 
     i = pl.program_id(1)
     s = pl.program_id(2)
@@ -153,6 +173,18 @@ def _q_fwd_kernel(
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if bound_max:
+            # Cauchy-Schwarz row bound |s_ij| ≤ ‖q̂_i‖·max_j‖k̂_j·σ‖: depends
+            # only on the Q block, so computed once per (b, i) here rather
+            # than on every kv step (serving_attn.py does the same).
+            qop = q_ref[0].astype(jnp.float32)
+            qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
+            if q_quant:
+                # int8 Q: the per-row dequant scale (log2e folded in, see
+                # _step) rides the bound. fp8 Q never reaches q_quant — it
+                # is dequantized host-side into q_raw (weight-only path).
+                qb = qb * (jnp.expand_dims(sq_ref[0, 0], -1) * LOG2E)
+            qb_scr[...] = jnp.broadcast_to(qb, qb_scr.shape)
 
     @pl.when(sched.step_needed(i, s))
     def _step():
@@ -176,14 +208,6 @@ def _q_fwd_kernel(
             # becomes a bare exp2 with no extra elementwise work.
             sq_col = jnp.expand_dims(sq_ref[0, 0], -1) * LOG2E  # (bq, 1)
             sij = raw * sq_col * sk_row
-            if bound_max:
-                # Cauchy-Schwarz bound on |raw| per row; the positive
-                # per-row dequant factor rides along (see serving_attn /
-                # DESIGN.md §10-11). kn carries max_j ‖k̂_j‖·sk_j.
-                qop = (_fp8_upcast(q_ref[0]) if k.dtype != jnp.int8
-                       else q_ref[0]).astype(jnp.float32)
-                qb = jnp.sqrt(
-                    jnp.sum(qop * qop, axis=-1, keepdims=True)) * sq_col
         else:
             # Weight-only: dequant K to bf16 in-register, scale columns
             # (or not at all when the per-tensor K scale rides in Q).
@@ -192,9 +216,6 @@ def _q_fwd_kernel(
                 q_ref[0], kf, _NT_DIMS, preferred_element_type=jnp.float32
             )
             sij = raw * sk_row if k_scaled else raw
-            if bound_max:
-                qop = q_ref[0].astype(jnp.float32)
-                qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
 
         def _apply_mask(sij):
             kv_idx = sched.kv_block_index(i, s)
@@ -209,7 +230,7 @@ def _q_fwd_kernel(
             m_prev = m_scr[:, :1]
             l_prev = l_scr[:, :1]
             if bound_max:
-                m_curr = qb * (jnp.max(kn_ref[0][:1]) * 1.0001)
+                m_curr = qb_scr[:, :1] * (jnp.max(kn_ref[0][:1]) * 1.0001)
             else:
                 m_curr = jnp.max(sij, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
@@ -277,6 +298,7 @@ def _quantized_fwd(
     hkv: int = 1,
     k_scaled: bool = True,
     need_lse: bool = True,
+    bound_max: bool = True,
 ):
     q_quant = qq is not None
     v_quant = isinstance(vq, QArray)
@@ -301,24 +323,26 @@ def _quantized_fwd(
     bh_kv = kq.values.shape[0]
     nkv_pad = kq.values.shape[1]
 
-    # norm-bound max (DESIGN.md §10-11): per-token norms of the kernel's
-    # K operand × its score-column multiplier, streamed as a lane vector
-    bound_max = True
-    kf32 = (kq.values if kq.values.dtype == jnp.int8
-            else _fp8_upcast_exact(kq.values)).astype(jnp.float32)
-    kn = jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1))
-    if k_scaled:
-        kn = kn * kq.scales.reshape(bh_kv, nkv_pad)
-    kn = jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, nkv_pad))
-
-    in_specs = [
-        pl.BlockSpec((1, 8, bkv), lambda b, i, s, _s=sched: (
-            kv_row(b), 0, _s.kv_block_index(i, s))),
+    in_specs = []
+    inputs = []
+    if bound_max:
+        # norm-bound max (DESIGN.md §10-11): per-token norms of the
+        # kernel's K operand × its score-column multiplier, as a lane
+        # vector (kernel-matching fp8 decode — see scaled_k_norms).
+        kn = scaled_k_norms(
+            kq.values,
+            kq.scales.reshape(bh_kv, nkv_pad) if k_scaled else None)
+        inputs.append(
+            jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, nkv_pad)))
+        in_specs.append(
+            pl.BlockSpec((1, 8, bkv), lambda b, i, s, _s=sched: (
+                kv_row(b), 0, _s.kv_block_index(i, s))))
+    in_specs += [
         pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
         pl.BlockSpec((1, bkv, d), kv_map),
         pl.BlockSpec((1, bkv, dv), kv_map),
     ]
-    inputs = [kn, q_vals, kq.values, v_vals]
+    inputs += [q_vals, kq.values, v_vals]
     if q_quant:
         in_specs.append(pl.BlockSpec((1, 1, bq), lambda b, i, s: (b, 0, i)))
         inputs.append(qq.scales.reshape(bh, 1, nq_pad))
@@ -362,7 +386,7 @@ def _quantized_fwd(
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, dv), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((bq, _LANES), jnp.float32)] if bound_max else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -400,8 +424,13 @@ def quantized_flash_attention(
     kv_scale: str = "token",
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    bound_max: bool = True,
 ):
     """Quantize-and-attend on ``(batch, heads, n, d)`` inputs.
+
+    ``bound_max=True`` (default) replaces the per-step score-tile max with
+    the Cauchy–Schwarz norm bound (exact online softmax under any upper
+    bound — DESIGN.md §10-11); False restores the measured score max.
 
     ``q_dtype``: int8 / float8_e4m3fn / float8_e5m2, or None for the
     weight-only mode (bf16 Q, quantized K/V). ``kv_dtype``: int8 / fp8.
@@ -514,6 +543,7 @@ def quantized_flash_attention(
     o, lse = _quantized_fwd(
         qq, q_raw, kq, vq, sched, interpret=interpret, out_dtype=q.dtype,
         hq=h, hkv=hkv, k_scaled=k_scaled, need_lse=return_lse,
+        bound_max=bound_max,
     )
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
@@ -587,6 +617,7 @@ def quantized_flash_attention_prequant(
     out_dtype=jnp.bfloat16,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
+    bound_max: bool = True,
 ):
     """Attend with operands already quantized by
     :func:`prepare_ring_operands` — no per-call quantize preamble.
@@ -642,6 +673,7 @@ def quantized_flash_attention_prequant(
     o, lse = _quantized_fwd(
         qq, q_raw, kqp, vqp, sched, interpret=interpret, out_dtype=out_dtype,
         hq=h, hkv=hkv, k_scaled=True, need_lse=return_lse,
+        bound_max=bound_max,
     )
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:

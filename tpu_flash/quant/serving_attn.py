@@ -48,7 +48,7 @@ from tpu_flash.ops.flash import (
     build_schedule,
 )
 from tpu_flash.ops.schedule import Schedule
-from tpu_flash.quant.flash_q import _fp8_upcast, _pad_scales
+from tpu_flash.quant.flash_q import _fp8_upcast, _pad_scales, scaled_k_norms
 from tpu_flash.quant.qarray import QMAX, QArray
 
 _F8 = (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2))
@@ -358,11 +358,7 @@ def serving_flash_attention(
     in_specs = []
     if bound_max:
         # per-token norms of the kernel's K operand × its score multiplier
-        kf32 = (_fp8_upcast(k_vals) if kv_dtype in _F8
-                else k_vals).astype(jnp.float32)
-        kn = jnp.sqrt(jnp.sum(kf32 * kf32, axis=-1))
-        if k_scaled:
-            kn = kn * sk[:, 0, :]
+        kn = scaled_k_norms(k_vals, sk[:, 0, :] if k_scaled else None)
         operands.append(jnp.broadcast_to(
             kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)))
         in_specs.append(pl.BlockSpec(
