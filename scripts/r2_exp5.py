@@ -87,7 +87,6 @@ def main():
 
     if which in ("all", "D"):
         log("=== D: backward split staging A/B @8k d=128 ===")
-        from tpu_flash.ops import flash_bwd
         q, k, v = mk(b, h, n, d)
         fl_bwd = fl * 2.5  # fwd + bwd (recompute) flop model
 
@@ -98,7 +97,6 @@ def main():
                              bwd_split=split).astype(jnp.float32))
             return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-        del flash_bwd  # split is plumbed via the bwd_split kwarg now
         for split in (1, 2, 4):
             g = make_loss(1024, 2048, split)
             bench(f"D.bwd.split{split}.bq1024.bkv2048", g, (q, k, v), fl_bwd)

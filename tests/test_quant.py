@@ -50,12 +50,16 @@ def test_quantized_dense_matches_matched_oracle(rng, q_dtype, kv_dtype):
     assert err <= bound, f"max-abs {err} vs matched oracle"
 
 
-@pytest.mark.parametrize("q_dtype", ["int8", None])
-def test_quantized_bound_max_off_matches_on(rng, q_dtype):
+@pytest.mark.parametrize("q_dtype,kv_dtype", [
+    ("int8", "int8"), (None, "int8"),
+    # fp8 rows exercise the approximate-upcast branch of scaled_k_norms
+    ("float8_e4m3fn", "float8_e4m3fn"), (None, "float8_e4m3fn"),
+])
+def test_quantized_bound_max_off_matches_on(rng, q_dtype, kv_dtype):
     """bound_max=False (measured score-tile max) and True (Cauchy–Schwarz
     norm bound) are both exact online softmax — same result to fp tolerance."""
     q, k, v = _qkv(rng, 1, 2, 256, 64)
-    kw = dict(q_dtype=q_dtype, kv_dtype="int8", **_BLK)
+    kw = dict(q_dtype=q_dtype, kv_dtype=kv_dtype, **_BLK)
     o_on = flash_q.quantized_dense_fa(q, k, v, bound_max=True, **kw)
     o_off = flash_q.quantized_dense_fa(q, k, v, bound_max=False, **kw)
     np.testing.assert_allclose(

@@ -690,6 +690,8 @@ def flash_attention(
     kv_dtype=None,
     vmem_limit_mb: Optional[int] = None,
     bwd_split: Optional[int] = None,
+    bound_max: bool = True,
+    kv_scale: str = "token",
 ):
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
 
@@ -700,6 +702,11 @@ def flash_attention(
     (ShiftedMaskSchedule, with ``radius=-1`` meaning no band — pass
     radius≥0 to band it). Sequence lengths are padded to block multiples
     internally; outputs are sliced back.
+
+    ``bound_max`` / ``kv_scale`` (quantized route only): ``bound_max=True``
+    uses the Cauchy-Schwarz norm-bound running max, False the measured
+    score-tile max — both exact online softmax; ``kv_scale`` picks the
+    K-scale granularity ("token" or "tensor"). Ignored on the bf16 path.
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
@@ -711,6 +718,11 @@ def flash_attention(
         # through this one dispatch (kv_dtype alone = weight-only mode).
         from tpu_flash.quant.flash_q import quantized_flash_attention
 
+        if bwd_split is not None:
+            raise ValueError(
+                "bwd_split applies to the bf16 backward kernels only; the "
+                "quantized path has no custom backward (train in bf16, "
+                "quantize for serving)")
         return quantized_flash_attention(
             q, k, v,
             q_dtype=q_dtype,
@@ -719,6 +731,7 @@ def flash_attention(
             shift=shift, wrap_n=wrap_n, shifted_causal=shifted_causal,
             block_q=block_q, block_kv=min(block_kv, 2048),
             return_lse=return_lse, interpret=interpret,
+            bound_max=bound_max, kv_scale=kv_scale,
         )
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]

@@ -421,12 +421,6 @@ def flash_backward(
     lse3 = lse_safe[:, None, :]  # (BH, 1, nq_pad) → (1,1,bq) lane blocks
     delta3 = delta[:, None, :]
 
-    if d <= 64 and dv_dim <= 64:
-        # the transposed kernels have no sub-tile staging; split is ignored
-        return _flash_backward_t(
-            q, k, v, lse3, delta3, sched, interpret=interpret, do=do
-        )
-
     if split is None:
         split = DEFAULT_SPLIT
     if split < 1 or (split > 1 and (
@@ -435,6 +429,13 @@ def flash_backward(
         raise ValueError(
             f"split={split} must divide block_q={bq} and block_kv={bkv} "
             "into 128-aligned sub-tiles")
+
+    if d <= 64 and dv_dim <= 64:
+        # the transposed kernels have no sub-tile staging; split is ignored
+        # (but still validated above so a bad value errors on every path)
+        return _flash_backward_t(
+            q, k, v, lse3, delta3, sched, interpret=interpret, do=do
+        )
 
     num_q_blocks = sched.num_q_blocks
     num_kv_blocks = sched.num_kv_blocks

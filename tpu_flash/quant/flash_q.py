@@ -334,9 +334,7 @@ def _quantized_fwd(
             kq.scales.reshape(bh_kv, nkv_pad) if k_scaled else None)
         inputs.append(
             jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, nkv_pad)))
-        in_specs.append(
-            pl.BlockSpec((1, 8, bkv), lambda b, i, s, _s=sched: (
-                kv_row(b), 0, _s.kv_block_index(i, s))))
+        in_specs.append(pl.BlockSpec((1, 8, bkv), kv_scale_map))
     in_specs += [
         pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
         pl.BlockSpec((1, bkv, d), kv_map),
