@@ -40,6 +40,12 @@ class ModelConfig:
     window: int = 1025  # odd; used when attention == "sliding"
     block_q: int = 256
     block_kv: int = 256
+    # Mixture-of-Experts MLP (models/moe.py): 0 = dense SwiGLU; >0 makes
+    # every layer's MLP a top-k routed expert bank, EP-shardable over an
+    # `expert` mesh axis via moe.expert_pspecs().
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @property
     def hidden(self) -> int:
@@ -67,20 +73,27 @@ def init_params(key, cfg: ModelConfig):
 
     layers = []
     for i in range(cfg.num_layers):
-        lk = jax.random.split(keys[i], 7)
-        layers.append(
-            dict(
-                wq=dense(lk[0], cfg.dim, (cfg.dim, cfg.q_dim)),
-                wk=dense(lk[1], cfg.dim, (cfg.dim, cfg.kv_dim)),
-                wv=dense(lk[2], cfg.dim, (cfg.dim, cfg.kv_dim)),
-                wo=dense(lk[3], cfg.q_dim, (cfg.q_dim, cfg.dim)),
+        lk = jax.random.split(keys[i], 8)
+        layer = dict(
+            wq=dense(lk[0], cfg.dim, (cfg.dim, cfg.q_dim)),
+            wk=dense(lk[1], cfg.dim, (cfg.dim, cfg.kv_dim)),
+            wv=dense(lk[2], cfg.dim, (cfg.dim, cfg.kv_dim)),
+            wo=dense(lk[3], cfg.q_dim, (cfg.q_dim, cfg.dim)),
+            ln_attn=jnp.ones((cfg.dim,), jnp.float32),
+            ln_mlp=jnp.ones((cfg.dim,), jnp.float32),
+        )
+        if cfg.moe_experts > 0:
+            from tpu_flash.models.moe import init_moe_params
+
+            layer.update(init_moe_params(
+                lk[7], cfg.dim, cfg.hidden, cfg.moe_experts, dt))
+        else:
+            layer.update(
                 w_gate=dense(lk[4], cfg.dim, (cfg.dim, cfg.hidden)),
                 w_up=dense(lk[5], cfg.dim, (cfg.dim, cfg.hidden)),
                 w_down=dense(lk[6], cfg.hidden, (cfg.hidden, cfg.dim)),
-                ln_attn=jnp.ones((cfg.dim,), jnp.float32),
-                ln_mlp=jnp.ones((cfg.dim,), jnp.float32),
             )
-        )
+        layers.append(layer)
     return dict(
         embed=(jax.random.normal(keys[-2], (cfg.vocab_size, cfg.dim), jnp.float32) * 0.02).astype(dt),
         ln_f=jnp.ones((cfg.dim,), jnp.float32),
@@ -110,7 +123,11 @@ def quantize_weights(params, dtype: str = "int8"):
     for l in params["layers"]:
         l2 = dict(l)
         for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-            l2[name] = quant(l[name])
+            # MoE layers carry 3-D expert-major MLP tensors (and no dense
+            # w_gate/...); those stay high precision — only the 2-D
+            # projections stream-quantize.
+            if name in l and not isinstance(l[name], dict) and l[name].ndim == 2:
+                l2[name] = quant(l[name])
         layers.append(l2)
     return {**params, "layers": layers}
 
@@ -181,8 +198,27 @@ def _psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
+def _mlp(params, h, cfg: ModelConfig, tp_axis=None, collect_aux=None):
+    """MLP residual branch: dense SwiGLU, or the MoE expert bank when the
+    layer carries a router (``wr``). MoE aux (balance) losses append to
+    ``collect_aux`` when given; EP needs no psum here — expert collectives
+    are XLA's, inserted around the dispatch einsums by sharding."""
+    if "wr" in params:
+        from tpu_flash.models.moe import moe_mlp
+
+        out, aux = moe_mlp(
+            params, h, top_k=cfg.moe_top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+        )
+        if collect_aux is not None:
+            collect_aux.append(aux)
+        return out
+    gate = jax.nn.silu(_mm(h, params["w_gate"]).astype(jnp.float32)).astype(h.dtype)
+    return _psum(_mm(gate * _mm(h, params["w_up"]), params["w_down"]), tp_axis)
+
+
 def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
-           attn_fn=None, tp_axis=None):
+           attn_fn=None, tp_axis=None, collect_aux=None):
     # Head counts derive from the (possibly TP-sharded) projection widths,
     # not cfg — inside shard_map each shard owns q_heads/tp heads and the
     # row-parallel matmuls are completed by one psum each (Megatron TP).
@@ -201,32 +237,39 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
     o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, qh * cfg.head_dim)
     x = x + _psum(_mm(o, params["wo"]), tp_axis)
     h = rmsnorm(x, params["ln_mlp"])
-    gate = jax.nn.silu(_mm(h, params["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    x = x + _psum(_mm(gate * _mm(h, params["w_up"]), params["w_down"]), tp_axis)
+    x = x + _mlp(params, h, cfg, tp_axis=tp_axis, collect_aux=collect_aux)
     return x
 
 
 def forward(params, tokens, cfg: ModelConfig, positions=None, attn_fn=None,
-            tp_axis=None):
+            tp_axis=None, collect_aux=None):
     """Full causal forward: tokens (B, N) int32 → logits (B, N, vocab) f32."""
     b, n = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
     for layer in params["layers"]:
-        x = _block(layer, x, positions, cfg, attn_fn=attn_fn, tp_axis=tp_axis)
+        x = _block(layer, x, positions, cfg, attn_fn=attn_fn, tp_axis=tp_axis,
+                   collect_aux=collect_aux)
     x = rmsnorm(x, params["ln_f"])
     return (x @ params["embed"].T).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg: ModelConfig, attn_fn=None):
+def loss_fn(params, tokens, cfg: ModelConfig, attn_fn=None,
+            moe_aux_coef: float = 0.01):
     """Next-token cross entropy — the training objective used by the
-    multi-chip dry run and any fine-tuning use."""
-    logits = forward(params, tokens[:, :-1], cfg, attn_fn=attn_fn)
+    multi-chip dry run and any fine-tuning use. MoE models add the
+    Switch balance loss, weighted by ``moe_aux_coef``."""
+    aux = []
+    logits = forward(params, tokens[:, :-1], cfg, attn_fn=attn_fn,
+                     collect_aux=aux)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-    return jnp.mean(nll)
+    loss = jnp.mean(nll)
+    if aux:
+        loss = loss + moe_aux_coef * sum(aux) / len(aux)
+    return loss
 
 
 def prefill(params, tokens, cfg: ModelConfig, tp_axis=None):
@@ -317,9 +360,7 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
         x = x + _psum(_mm(o.reshape(b, C, qh * cfg.head_dim), layer["wo"]),
                       tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
-        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + _psum(_mm(gate * _mm(hm, layer["w_up"]), layer["w_down"]),
-                      tp_axis)
+        x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
         new_caches.append(cache)
     x = rmsnorm(x, params["ln_f"])
     logits = (x @ params["embed"].T).astype(jnp.float32)
@@ -364,8 +405,7 @@ def decode_step_seq(params, tokens, positions, caches, slots,
         )
         x = x + _mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"])
         hm = rmsnorm(x, layer["ln_mlp"])
-        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + _mm(gate * _mm(hm, layer["w_up"]), layer["w_down"])
+        x = x + _mlp(layer, hm, cfg)
         new_caches.append(cache)
     x = rmsnorm(x, params["ln_f"])
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
@@ -423,8 +463,7 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
             )
         x = x + _psum(_mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"]), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
-        gate = jax.nn.silu(_mm(hm, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        x = x + _psum(_mm(gate * _mm(hm, layer["w_up"]), layer["w_down"]), tp_axis)
+        x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
         new_caches.append(cache)
     x = rmsnorm(x, params["ln_f"])
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
