@@ -41,11 +41,18 @@ def _moe_reference(layer, h, top_k, capacity):
             p[np.arange(n), idx] = -1.0
         kept = []
         for kk in range(top_k):
+            # GShard semantics: later choices offset by the POST-truncation
+            # fill of earlier choices, but positions within one choice come
+            # from that choice's raw running count (a dropped token still
+            # advances its own choice's counter).
+            round_fill = np.zeros(e, np.int64)
             for t in range(n):
                 _, _, ex, g = picks[kk * n + t]
-                if fill[ex] < capacity:
+                if fill[ex] + round_fill[ex] < capacity:
                     kept.append((t, ex, g))
-                fill[ex] += 1
+                round_fill[ex] += 1
+            for ex in range(e):
+                fill[ex] += min(round_fill[ex], capacity - fill[ex])
         denom = np.zeros(n, np.float64)
         for t, ex, g in kept:
             denom[t] += g
@@ -166,6 +173,38 @@ def test_moe_decode_matches_forward(rng):
         atol=2e-3, rtol=2e-2,
     )
     assert int(jnp.argmax(step_logits[0])) == int(jnp.argmax(logits_ext[0, -1]))
+
+
+def test_route_topk_rejects_topk_over_experts(rng):
+    logits = jnp.zeros((1, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="top_k"):
+        moe.route_topk(logits, 3, capacity=4)
+
+
+def test_dropped_first_choice_frees_slot_for_second_choice():
+    """GShard post-truncation offsets: choice-0 drops must not waste the
+    capacity slots a choice-1 token could fill."""
+    # 2 experts; all 8 tokens pick expert 0 first (logit 10) and expert 1
+    # second. capacity=4: choice-0 fills expert-0 slots 0-3 (4 dropped);
+    # choice-1 fills expert-1 slots 0-3 (4 dropped). Expert 1's slots must
+    # start at 0 even though 8 choice-0 picks of expert 0 preceded them.
+    logits = jnp.broadcast_to(jnp.asarray([10.0, 0.0], jnp.float32), (1, 8, 2))
+    dispatch, _, _ = moe.route_topk(logits, 2, capacity=4)
+    d = np.asarray(dispatch)
+    assert d[..., 0, :].sum() == 4        # expert 0: 4 kept
+    assert d[..., 1, :].sum() == 4        # expert 1: choice-1 tokens kept
+    # expert 1 slots 0..3 each used exactly once (no pre-drop offset)
+    assert np.allclose(d[0, :, 1, :].sum(axis=0), 1.0)
+
+
+def test_serving_guard_rejects_dropful_capacity():
+    cfg = tfm.ModelConfig(
+        vocab_size=64, dim=32, num_layers=1, num_q_heads=2, num_kv_heads=2,
+        head_dim=16, mlp_hidden=64, dtype="float32",
+        moe_experts=8, moe_top_k=2, moe_capacity_factor=1.25)
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="drop-free"):
+        tfm.prefill(params, jnp.zeros((1, 8), jnp.int32), cfg)
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")

@@ -94,3 +94,31 @@ def test_tp_forward_matches_single_device():
     got = fn(params, toks)
     # bf16 params: the TP psum changes bf16 accumulation order slightly
     assert float(jnp.max(jnp.abs(got - ref))) < 5e-2
+
+
+def test_tp_forward_moe_matches_single_device():
+    """TP + MoE: attention shards over `model`, the expert bank replicates
+    (param_pspecs MoE branch) — forward must match unsharded."""
+    mesh = _mesh(2)
+    from jax.sharding import PartitionSpec as P
+    from tpu_flash.parallel.shardings import param_pspecs
+
+    cfg = tfm.ModelConfig(
+        vocab_size=256, dim=128, num_layers=2, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, block_q=128, block_kv=128,
+        moe_experts=4, moe_top_k=2, moe_capacity_factor=2.0)
+    params = tfm.init_params(jax.random.PRNGKey(1), cfg)
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(1, 255, (2, 24)), jnp.int32
+    )
+    ref = tfm.forward(params, toks, cfg)
+
+    fn = jax.shard_map(
+        lambda p, t: tfm.forward(p, t, cfg, tp_axis="model"),
+        mesh=mesh,
+        in_specs=(param_pspecs(params, "model"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = fn(params, toks)
+    assert float(jnp.max(jnp.abs(got - ref))) < 5e-2

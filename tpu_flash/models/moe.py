@@ -43,7 +43,10 @@ def init_moe_params(key, dim: int, hidden: int, num_experts: int, dtype):
                 / math.sqrt(fan_in)).astype(dtype)
 
     return dict(
-        wr=dense(kr, dim, (dim, num_experts)).astype(jnp.float32),
+        # router stays genuinely f32 (no round-trip through the model dtype:
+        # bf16-rounded logits can flip near-tie expert choices)
+        wr=jax.random.normal(kr, (dim, num_experts), jnp.float32)
+        / math.sqrt(dim),
         w_gate=dense(kg, dim, (num_experts, dim, hidden)),
         w_up=dense(ku, dim, (num_experts, dim, hidden)),
         w_down=dense(kd, hidden, (num_experts, hidden, dim)),
@@ -76,6 +79,8 @@ def route_topk(logits, top_k: int, capacity: int):
     so a token's second expert never evicts another token's first.
     """
     b, n, e = logits.shape
+    if top_k > e:
+        raise ValueError(f"top_k={top_k} exceeds num_experts={e}")
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     masks, gates = [], []
@@ -87,16 +92,20 @@ def route_topk(logits, top_k: int, capacity: int):
         gates.append(jnp.sum(probs * m, axis=-1))      # (B, N)
         p = p * (1.0 - m)
 
-    # positions: running per-expert fill count, choices in priority order
+    # positions: running per-expert fill count, choices in priority order.
+    # Later choices offset by the POST-truncation count of earlier choices
+    # (GShard semantics) — a dropped choice-0 token must not waste a
+    # capacity slot that a choice-1 token could fill.
     counts = jnp.zeros((b, 1, e), jnp.float32)
     kept_masks, positions = [], []
     for m in masks:
         pos = jnp.cumsum(m, axis=1) - m + counts        # (B, N, E)
         pos_tok = jnp.sum(pos * m, axis=-1)             # (B, N)
         keep = (pos_tok < capacity).astype(jnp.float32)
-        kept_masks.append(m * keep[..., None])
+        km = m * keep[..., None]
+        kept_masks.append(km)
         positions.append(pos_tok)
-        counts = counts + jnp.sum(m, axis=1, keepdims=True)
+        counts = counts + jnp.sum(km, axis=1, keepdims=True)
 
     # renormalize the kept gates to sum 1 per token (0-token rows stay 0)
     kept_gate = [g * jnp.sum(km, -1) for g, km in zip(gates, kept_masks)]

@@ -198,6 +198,23 @@ def _psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis else x
 
 
+def _check_serving_moe(cfg: ModelConfig):
+    """Serving paths require the drop-free MoE capacity factor.
+
+    Capacity drops are batch-dependent (models/moe.py docstring): a token
+    that overflows in a batched prefill routes alone during decode, so a
+    dropful config silently produces decode tokens inconsistent with the
+    teacher-forced forward. cf >= E/top_k guarantees zero drops."""
+    if cfg.moe_experts > 0:
+        need = cfg.moe_experts / cfg.moe_top_k
+        if cfg.moe_capacity_factor < need:
+            raise ValueError(
+                f"serving an MoE model needs the drop-free capacity factor "
+                f"moe_capacity_factor >= E/top_k = {need} (got "
+                f"{cfg.moe_capacity_factor}); dropful routing is not "
+                f"prefix-consistent between batched prefill and decode")
+
+
 def _mlp(params, h, cfg: ModelConfig, tp_axis=None, collect_aux=None):
     """MLP residual branch: dense SwiGLU, or the MoE expert bank when the
     layer carries a router (``wr``). MoE aux (balance) losses append to
@@ -278,6 +295,7 @@ def prefill(params, tokens, cfg: ModelConfig, tp_axis=None):
 
     Returns (logits (B, vocab), kv: list of (k, v) each (B, N, KVH, D)).
     """
+    _check_serving_moe(cfg)
     b, n = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
@@ -306,6 +324,7 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
     greedy_last int32, new_caches)`` — ``greedy_last`` is the argmax token
     after the last REAL position (used on the final chunk).
     """
+    _check_serving_moe(cfg)
     from tpu_flash.parallel.ring import merge_partials
 
     b, C = tokens.shape
@@ -382,6 +401,7 @@ def decode_step_seq(params, tokens, positions, caches, slots,
     ``caches`` are the rank-LOCAL PagedKVCache views. Sliding-window
     decode is not supported across shards (band positions are global).
     """
+    _check_serving_moe(cfg)
     from tpu_flash.parallel.ring_decode import sharded_paged_attention
 
     if cfg.attention == "sliding":
@@ -428,6 +448,7 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
 
     Returns (logits (B, vocab), new_caches).
     """
+    _check_serving_moe(cfg)
     b = tokens.shape[0]
     x = params["embed"][tokens][:, None, :]  # (B, 1, dim)
     pos = positions[:, None]

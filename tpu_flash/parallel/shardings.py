@@ -38,16 +38,27 @@ def param_pspecs(params, axis: str = "model"):
         return spec
 
     def layer(l):
-        return dict(
+        d = dict(
             wq=wspec(l["wq"], col, P(axis)),
             wk=wspec(l["wk"], col, P(axis)),
             wv=wspec(l["wv"], col, P(axis)),
             wo=wspec(l["wo"], row, P()),
-            w_gate=wspec(l["w_gate"], col, P(axis)),
-            w_up=wspec(l["w_up"], col, P(axis)),
-            w_down=wspec(l["w_down"], row, P()),
             ln_attn=P(), ln_mlp=P(),
         )
+        if "wr" in l:
+            # MoE layer: the expert bank replicates under the TP `model`
+            # axis — each shard computes the full (replicated-activation)
+            # MoE MLP, so no psum is needed and TP still shards attention.
+            # Expert-dim parallelism composes separately via an `expert`
+            # mesh axis (models/moe.py expert_pspecs), not this one.
+            d.update(wr=P(), w_gate=P(), w_up=P(), w_down=P())
+        else:
+            d.update(
+                w_gate=wspec(l["w_gate"], col, P(axis)),
+                w_up=wspec(l["w_up"], col, P(axis)),
+                w_down=wspec(l["w_down"], row, P()),
+            )
+        return d
 
     return dict(
         embed=P(),  # replicated: the unembed matmul needs full vocab rows
