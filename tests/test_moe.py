@@ -175,6 +175,34 @@ def test_moe_decode_matches_forward(rng):
     assert int(jnp.argmax(step_logits[0])) == int(jnp.argmax(logits_ext[0, -1]))
 
 
+def test_moe_engine_generates(rng):
+    """Continuous-batching engine end-to-end on an MoE model (drop-free
+    capacity factor): generation completes and is deterministic."""
+    from tpu_flash.cache.paged_cache import CacheConfig
+    from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+    cfg = tfm.ModelConfig(
+        vocab_size=256, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32", moe_experts=4, moe_top_k=2, moe_capacity_factor=2.0)
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+
+    prompts = [list(rng.integers(1, 255, 6)), [3, 1, 4, 1, 5, 9, 2, 6]]
+
+    def run():
+        eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=2))
+        for rid, p in enumerate(prompts):
+            eng.submit(Request(rid=rid, prompt=p, max_new_tokens=6))
+        return sorted((f.rid, tuple(f.new_tokens)) for f in eng.run())
+
+    out1 = run()
+    assert all(len(t) == 6 for _, t in out1)
+    assert out1 == run()  # deterministic
+
+
 def test_route_topk_rejects_topk_over_experts(rng):
     logits = jnp.zeros((1, 4, 2), jnp.float32)
     with pytest.raises(ValueError, match="top_k"):
