@@ -85,6 +85,22 @@ def main():
                 sliding_fa, window_size=1025, block_q=bq, block_kv=bkv))
             bench(f"B.sliding.w1025.bq{bq}.bkv{bkv}", fn, (q, k, v), fl)
 
+    if which in ("all", "E"):
+        # Sliding is grid-step-latency-bound: sweep the batch-head packing
+        # (rows fused per step) past the auto cap of 2 — bhb=8 projects
+        # ~1.6 ms (4.3x dense) if the fixed per-step cost dominates.
+        log("=== E: sliding bh_block sweep (step-overhead amortization) ===")
+        from tpu_flash.ops.flash import force_bh_block
+        q, k, v = mk(b, h, n, d)
+        for bq, bkv in [(512, 512), (256, 512), (512, 1024)]:
+            for bhb in (2, 4, 8):
+                with force_bh_block(bhb):
+                    fn = jax.jit(functools.partial(
+                        sliding_fa, window_size=1025,
+                        block_q=bq, block_kv=bkv))
+                    bench(f"E.sliding.w1025.bq{bq}.bkv{bkv}.bhb{bhb}",
+                          fn, (q, k, v), fl)
+
     if which in ("all", "D"):
         log("=== D: backward split staging A/B @8k d=128 ===")
         q, k, v = mk(b, h, n, d)

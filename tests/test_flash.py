@@ -172,3 +172,18 @@ def test_gqa_matches_repeated_kv(rng):
     assert jnp.allclose(gq, gq_r, atol=1e-4)
     assert jnp.allclose(gk, gk_r, atol=1e-4)
     assert jnp.allclose(gv, gv_r, atol=1e-4)
+
+
+@pytest.mark.parametrize("bhb", [2, 4])
+def test_forced_bh_block_matches_oracle(rng, bhb):
+    """force_bh_block packs several batch-head rows per grid step; results
+    must be identical to the auto policy (pure scheduling change)."""
+    q, k, v = _qkv(rng, 2, 4, 300, 128)  # bh=8, ragged n
+    o_ref, _ = oracle.sliding_dpa(q, k, v, 129)
+    with flash.force_bh_block(bhb):
+        o = flash.sliding_fa(q, k, v, 129, **_BLK)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+    # non-divisible override falls back to 1
+    with flash.force_bh_block(3):
+        o = flash.sliding_fa(q, k, v, 129, **_BLK)
+    np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)

@@ -20,6 +20,7 @@ whose mis-sizing cost it 4–30× (BASELINE.md cache sweep).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -63,6 +64,26 @@ _NT_DIMS = (((1,), (1,)), ((), ()))
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
+
+
+# Experiment knob: override the auto batch-head packing factor (the number
+# of batch·head rows fused into one grid step to amortize the fixed ~2 µs
+# per-step cost at small tiles). None = auto (VMEM-budget heuristic below).
+_BH_BLOCK_OVERRIDE: Optional[int] = None
+
+
+@contextlib.contextmanager
+def force_bh_block(n: Optional[int]):
+    """Force the forward kernels' batch-head packing to ``n`` (MHA only;
+    ignored where unsupported). For block-size experiments — production
+    callers rely on the auto heuristic."""
+    global _BH_BLOCK_OVERRIDE
+    prev = _BH_BLOCK_OVERRIDE
+    _BH_BLOCK_OVERRIDE = n
+    try:
+        yield
+    finally:
+        _BH_BLOCK_OVERRIDE = prev
 
 
 def _round_up(x: int, m: int) -> int:
@@ -491,9 +512,17 @@ def _flash_fwd(
     # VMEM driver — keep bh_block · tile ≤ ~2 MB.
     bhb = 1
     if g == 1:
-        while (bhb < 8 and bh % (bhb * 2) == 0
-               and bq * bkv * 4 * (bhb * 2) <= (2 << 20)):
-            bhb *= 2
+        if _BH_BLOCK_OVERRIDE is not None:
+            if bh % _BH_BLOCK_OVERRIDE == 0:
+                bhb = _BH_BLOCK_OVERRIDE
+        else:
+            while (bhb < 8 and bh % (bhb * 2) == 0
+                   and bq * bkv * 4 * (bhb * 2) <= (2 << 20)):
+                bhb *= 2
+    if vmem_limit_mb is None and bq * bkv * 4 * bhb > (14 << 20) // 2:
+        # forced-large packing: the live f32 score tiles alone approach the
+        # 16 MB default scoped budget; raise it (measured free, DESIGN §12)
+        vmem_limit_mb = 64
     grid = (bh // bhb, sched.num_q_blocks, num_steps)
 
     kernel = functools.partial(
