@@ -237,3 +237,33 @@ def test_pipelined_decode_matches_default(params, dtype):
         return eng.run()[0].tokens
 
     assert run(True) == run(False)
+
+
+def test_chunked_prefill_on_recycled_slot():
+    """A recycled slot's stale device-side length must not leak into the
+    first chunk's prefix attention (regression: the paged kernel masks
+    [0, lengths[slot]) and admission didn't reset it)."""
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    rng = np.random.default_rng(0)
+    filler = [list(rng.integers(1, 127, 40)) for _ in range(3)]
+    probe = list(rng.integers(1, 127, 33))
+
+    def run(prompts):
+        eng = Engine(params, cfg, ccfg,
+                     EngineConfig(max_batch=1, chunk_size=16))
+        out = {}
+        for rid, p in enumerate(prompts):
+            eng.submit(Request(rid=rid, prompt=p, max_new_tokens=4))
+            for f in eng.run():  # drain fully so slots recycle
+                out[f.rid] = f.new_tokens
+            eng.finished.clear()
+        return out
+
+    assert run(filler + [probe])[3] == run([probe])[0]

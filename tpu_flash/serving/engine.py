@@ -288,16 +288,23 @@ class Engine:
             b *= 2
         return min(b, cap)
 
-    def _sync_slot_tables(self, slot: int) -> None:
+    def _sync_slot_tables(self, slot: int, reset_length: bool = False) -> None:
         # Allocator ids are shifted +1 (physical page 0 is the trash page);
         # entries beyond the allocated count stay 0 → trash.
         npages = self._alloc.num_pages(slot)
         mask = np.zeros(self.ccfg.max_pages_per_seq, np.int32)
         mask[:npages] = 1
         row = jnp.asarray((self._alloc.table(slot) + 1) * mask)
+        # reset_length: at ADMISSION the slot's device-side length must drop
+        # to zero before the first chunk's paged prefix attention reads it —
+        # a recycled slot's stale length would mask in [0, stale) of freshly
+        # granted (old-content) pages. Decode-time extends keep the length.
         self.caches = [
             dataclasses.replace(
-                c, page_tables=c.page_tables.at[slot].set(row)
+                c,
+                page_tables=c.page_tables.at[slot].set(row),
+                lengths=(c.lengths.at[slot].set(0) if reset_length
+                         else c.lengths),
             )
             for c in self.caches
         ]
@@ -322,7 +329,7 @@ class Engine:
                 break  # pool exhausted; retry next step
             self.waiting.popleft()
             self._free_slots.popleft()
-            self._sync_slot_tables(slot)
+            self._sync_slot_tables(slot, reset_length=True)
             if chunked:
                 self.prefilling[slot] = dict(
                     req=req, done=0, pages=pages_needed
