@@ -27,6 +27,11 @@ struct PagePool {
   std::vector<int32_t> free_stack;
   std::vector<std::vector<int32_t>> tables;  // per-slot page ids
   std::vector<uint8_t> active;
+  // Reference counts enable copy-on-write page sharing (prefix caching):
+  // each slot-table entry holds one ref, and the host-side prefix cache
+  // holds one per retained page. A page returns to the free stack only
+  // when its count reaches zero.
+  std::vector<int32_t> refs;
   std::mutex mu;
 
   PagePool(int32_t total, int32_t seqs, int32_t per_seq, int32_t reserve)
@@ -35,9 +40,21 @@ struct PagePool {
         max_pages_per_seq(per_seq),
         decode_reserve(reserve),
         tables(seqs),
-        active(seqs, 0) {
+        active(seqs, 0),
+        refs(total, 0) {
     free_stack.reserve(total);
     for (int32_t p = total - 1; p >= 0; --p) free_stack.push_back(p);
+  }
+
+  int32_t take_free() {
+    int32_t p = free_stack.back();
+    free_stack.pop_back();
+    refs[p] = 1;
+    return p;
+  }
+
+  void drop_ref(int32_t p) {
+    if (--refs[p] == 0) free_stack.push_back(p);
   }
 };
 
@@ -73,12 +90,69 @@ int32_t pp_admit(void* h, int32_t slot, int32_t npages) {
     return -1;
   auto& table = pool->tables[slot];
   table.clear();
-  for (int32_t i = 0; i < npages; ++i) {
-    table.push_back(pool->free_stack.back());
-    pool->free_stack.pop_back();
-  }
+  for (int32_t i = 0; i < npages; ++i) table.push_back(pool->take_free());
   pool->active[slot] = 1;
   return 0;
+}
+
+// Admit a sequence whose table starts with `n_shared` EXISTING pages
+// (prefix-cache hits; each gains a reference — copy-on-write sharing)
+// followed by `n_new` fresh pages. All-or-nothing like pp_admit; only the
+// fresh pages count against the free pool + decode reserve. Shared pages
+// must currently be live (refcount > 0). Returns 0 on success.
+int32_t pp_admit_shared(void* h, int32_t slot, const int32_t* shared,
+                        int32_t n_shared, int32_t n_new) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (slot < 0 || slot >= pool->max_seqs || pool->active[slot]) return -1;
+  if (n_shared < 0 || n_new < 0 ||
+      n_shared + n_new > pool->max_pages_per_seq)
+    return -1;
+  for (int32_t i = 0; i < n_shared; ++i) {
+    int32_t p = shared[i];
+    if (p < 0 || p >= pool->total_pages || pool->refs[p] <= 0) return -1;
+  }
+  if (static_cast<int32_t>(pool->free_stack.size()) <
+      n_new + pool->decode_reserve)
+    return -1;
+  auto& table = pool->tables[slot];
+  table.clear();
+  for (int32_t i = 0; i < n_shared; ++i) {
+    table.push_back(shared[i]);
+    ++pool->refs[shared[i]];
+  }
+  for (int32_t i = 0; i < n_new; ++i) table.push_back(pool->take_free());
+  pool->active[slot] = 1;
+  return 0;
+}
+
+// Prefix-cache retain: add one reference to a LIVE page so it survives its
+// owning sequence. Returns the new count, or -1 (free/invalid page).
+int32_t pp_retain(void* h, int32_t page) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (page < 0 || page >= pool->total_pages || pool->refs[page] <= 0)
+    return -1;
+  return ++pool->refs[page];
+}
+
+// Prefix-cache release (eviction): drop one reference; the page returns to
+// the free pool at zero. Returns the new count, or -1.
+int32_t pp_release(void* h, int32_t page) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (page < 0 || page >= pool->total_pages || pool->refs[page] <= 0)
+    return -1;
+  int32_t left = pool->refs[page] - 1;
+  pool->drop_ref(page);
+  return left;
+}
+
+int32_t pp_refcount(void* h, int32_t page) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (page < 0 || page >= pool->total_pages) return -1;
+  return pool->refs[page];
 }
 
 // Grow an active sequence by one page (decode crossing a page boundary).
@@ -91,8 +165,7 @@ int32_t pp_extend(void* h, int32_t slot) {
   auto& table = pool->tables[slot];
   if (static_cast<int32_t>(table.size()) >= pool->max_pages_per_seq) return -1;
   if (pool->free_stack.empty()) return -1;
-  int32_t page = pool->free_stack.back();
-  pool->free_stack.pop_back();
+  int32_t page = pool->take_free();
   table.push_back(page);
   return page;
 }
@@ -102,33 +175,34 @@ void pp_free_seq(void* h, int32_t slot) {
   auto* pool = static_cast<PagePool*>(h);
   std::lock_guard<std::mutex> lock(pool->mu);
   if (slot < 0 || slot >= pool->max_seqs || !pool->active[slot]) return;
-  for (int32_t p : pool->tables[slot]) pool->free_stack.push_back(p);
+  for (int32_t p : pool->tables[slot]) pool->drop_ref(p);
   pool->tables[slot].clear();
   pool->active[slot] = 0;
 }
 
-// Restore a slot to an explicit page table (checkpoint resume). The pages
-// must all be currently free and distinct; all-or-nothing like pp_admit.
-// Bypasses the decode reservation: a restore reinstates state that was
-// already admitted before the snapshot. Returns 0 on success, -1 otherwise.
+// Restore a slot to an explicit page table (checkpoint resume). Free pages
+// are claimed; pages already live (restored into another slot first —
+// prefix-shared tables) gain a reference instead. Duplicates within one
+// table are rejected; all-or-nothing like pp_admit. Bypasses the decode
+// reservation: a restore reinstates state that was already admitted before
+// the snapshot. Returns 0 on success, -1 otherwise.
 int32_t pp_restore(void* h, int32_t slot, const int32_t* pages, int32_t n) {
   auto* pool = static_cast<PagePool*>(h);
   std::lock_guard<std::mutex> lock(pool->mu);
   if (slot < 0 || slot >= pool->max_seqs || pool->active[slot]) return -1;
   if (n < 0 || n > pool->max_pages_per_seq) return -1;
-  std::vector<uint8_t> is_free(pool->total_pages, 0);
-  for (int32_t p : pool->free_stack) is_free[p] = 1;
+  std::vector<uint8_t> seen(pool->total_pages, 0);
   for (int32_t i = 0; i < n; ++i) {
     int32_t p = pages[i];
-    if (p < 0 || p >= pool->total_pages || !is_free[p]) return -1;
-    is_free[p] = 0;  // also rejects duplicates within `pages`
+    if (p < 0 || p >= pool->total_pages || seen[p]) return -1;
+    seen[p] = 1;
   }
-  // is_free[p] was cleared for each taken page above, so one pass keeps
-  // exactly the still-free pages.
+  // claim free pages / incref live ones; rebuild the free stack in one pass
   std::vector<int32_t> kept;
-  kept.reserve(pool->free_stack.size() - n);
+  kept.reserve(pool->free_stack.size());
   for (int32_t p : pool->free_stack)
-    if (is_free[p]) kept.push_back(p);
+    if (!seen[p]) kept.push_back(p);
+  for (int32_t i = 0; i < n; ++i) ++pool->refs[pages[i]];
   pool->free_stack.swap(kept);
   pool->tables[slot].assign(pages, pages + n);
   pool->active[slot] = 1;

@@ -46,9 +46,16 @@ def test_allocator_restore(force_python):
     assert a.restore(0, table)
     assert np.array_equal(a.table(0)[:3], table)
     assert a.num_free() == free_before
-    # double restore fails (slot active), busy pages fail
+    # double restore fails (slot active)
     assert not a.restore(0, table)
-    assert not a.restore(1, table)  # pages busy
+    # restoring the same table into ANOTHER slot shares the pages
+    # (prefix-shared checkpoint tables): refcounted, no new pages consumed
+    assert a.restore(1, table)
+    assert a.num_free() == free_before
+    a.free_seq(0)
+    assert a.num_free() == free_before  # pages still held by slot 1
+    a.free_seq(1)
+    assert a.num_free() == free_before + 3
     # duplicates rejected
     assert not a.restore(2, [5, 5])
 

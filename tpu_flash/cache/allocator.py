@@ -60,6 +60,20 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.pp_admit_shared.restype = ctypes.c_int32
+        lib.pp_admit_shared.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.pp_retain.restype = ctypes.c_int32
+        lib.pp_retain.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.pp_release.restype = ctypes.c_int32
+        lib.pp_release.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.pp_refcount.restype = ctypes.c_int32
+        lib.pp_refcount.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         _lib = lib
     except Exception:
         _lib = None
@@ -92,6 +106,17 @@ class PageAllocator:
             self._free = list(range(total_pages - 1, -1, -1))
             self._tables = [[] for _ in range(max_seqs)]
             self._active = [False] * max_seqs
+            self._refs = [0] * total_pages
+
+    def _take_free(self) -> int:
+        page = self._free.pop()
+        self._refs[page] = 1
+        return page
+
+    def _drop_ref(self, page: int) -> None:
+        self._refs[page] -= 1
+        if self._refs[page] == 0:
+            self._free.append(page)
 
     @property
     def native(self) -> bool:
@@ -118,9 +143,65 @@ class PageAllocator:
             or len(self._free) < npages + self.decode_reserve
         ):
             return False
-        self._tables[slot] = [self._free.pop() for _ in range(npages)]
+        self._tables[slot] = [self._take_free() for _ in range(npages)]
         self._active[slot] = True
         return True
+
+    def admit_shared(self, slot: int, shared, n_new: int) -> bool:
+        """Admit with a table of existing ``shared`` pages (prefix-cache
+        hits; each gains a reference — copy-on-write sharing) followed by
+        ``n_new`` fresh pages. Only the fresh pages count against the free
+        pool + decode reserve. All-or-nothing."""
+        shared = [int(p) for p in shared]
+        if self._lib is not None:
+            buf = (ctypes.c_int32 * max(1, len(shared)))(*(shared or [0]))
+            return (
+                self._lib.pp_admit_shared(
+                    self._h, slot, buf, len(shared), n_new
+                )
+                == 0
+            )
+        if (
+            slot < 0
+            or slot >= self.max_seqs
+            or self._active[slot]
+            or n_new < 0
+            or len(shared) + n_new > self.max_pages_per_seq
+            or any(not (0 <= p < self.total_pages) or self._refs[p] <= 0
+                   for p in shared)
+            or len(self._free) < n_new + self.decode_reserve
+        ):
+            return False
+        for p in shared:
+            self._refs[p] += 1
+        self._tables[slot] = shared + [self._take_free() for _ in range(n_new)]
+        self._active[slot] = True
+        return True
+
+    def retain(self, page: int) -> bool:
+        """Add a reference to a live page (prefix-cache retain)."""
+        if self._lib is not None:
+            return self._lib.pp_retain(self._h, page) > 0
+        if not (0 <= page < self.total_pages) or self._refs[page] <= 0:
+            return False
+        self._refs[page] += 1
+        return True
+
+    def release(self, page: int) -> bool:
+        """Drop a reference (prefix-cache eviction); frees the page at 0."""
+        if self._lib is not None:
+            return self._lib.pp_release(self._h, page) >= 0
+        if not (0 <= page < self.total_pages) or self._refs[page] <= 0:
+            return False
+        self._drop_ref(page)
+        return True
+
+    def refcount(self, page: int) -> int:
+        if self._lib is not None:
+            return self._lib.pp_refcount(self._h, page)
+        if not (0 <= page < self.total_pages):
+            return -1
+        return self._refs[page]
 
     def extend(self, slot: int) -> Optional[int]:
         if self._lib is not None:
@@ -132,7 +213,7 @@ class PageAllocator:
             or not self._free
         ):
             return None
-        page = self._free.pop()
+        page = self._take_free()
         self._tables[slot].append(page)
         return page
 
@@ -141,7 +222,8 @@ class PageAllocator:
             self._lib.pp_free_seq(self._h, slot)
             return
         if self._active[slot]:
-            self._free.extend(self._tables[slot])
+            for p in self._tables[slot]:
+                self._drop_ref(p)
             self._tables[slot] = []
             self._active[slot] = False
 
@@ -153,13 +235,15 @@ class PageAllocator:
     def restore(self, slot: int, pages) -> bool:
         """Reinstate a slot's exact page table (checkpoint resume).
 
-        All pages must currently be free; all-or-nothing. Unlike
+        Free pages are claimed; pages already live (restored into another
+        slot first — prefix-shared tables) gain a reference. Duplicates
+        within one table are rejected; all-or-nothing. Unlike
         :meth:`admit`, bypasses the decode reservation — the pages were
         already admitted before the snapshot was taken.
         """
         pages = np.asarray(pages, np.int32)
         if self._lib is not None:
-            buf = (ctypes.c_int32 * len(pages))(*pages.tolist())
+            buf = (ctypes.c_int32 * max(1, len(pages)))(*(pages.tolist() or [0]))
             return self._lib.pp_restore(self._h, slot, buf, len(pages)) == 0
         taken = set(pages.tolist())
         if (
@@ -168,10 +252,12 @@ class PageAllocator:
             or self._active[slot]
             or len(pages) > self.max_pages_per_seq
             or len(taken) != len(pages)
-            or not taken <= set(self._free)
+            or not all(0 <= p < self.total_pages for p in taken)
         ):
             return False
         self._free = [p for p in self._free if p not in taken]
+        for p in pages.tolist():
+            self._refs[p] += 1
         self._tables[slot] = list(pages.tolist())
         self._active[slot] = True
         return True

@@ -91,6 +91,10 @@ class EngineConfig:
     pipelined_decode: bool = False  # hand-pipelined decode kernel (v2)
     chunk_size: Optional[int] = None  # tokens per prefill chunk (page-multiple);
     # prompts longer than this stream in chunks interleaved with decode steps
+    prefix_cache: bool = False  # copy-on-write sharing of full prompt pages:
+    # repeated prefixes skip both prefill compute and page memory
+    # (serving/prefix_cache.py); evicted LRU-first under pool pressure
+    prefix_cache_entries: int = 4096
     seed: int = 0
 
 
@@ -143,6 +147,13 @@ class Engine:
             engine_cfg.chunk_size % cache_cfg.page_size
         ):
             raise ValueError("chunk_size must be a multiple of page_size")
+        self._pcache = None
+        if engine_cfg.prefix_cache:
+            from tpu_flash.serving.prefix_cache import PrefixCache
+
+            self._pcache = PrefixCache(
+                self._alloc, engine_cfg.prefix_cache_entries
+            )
         self._rng = np.random.default_rng(engine_cfg.seed)
         self._key = jax.random.PRNGKey(engine_cfg.seed)
         self._decode_fns = {}
@@ -288,26 +299,48 @@ class Engine:
             b *= 2
         return min(b, cap)
 
-    def _sync_slot_tables(self, slot: int, reset_length: bool = False) -> None:
+    def _sync_slot_tables(self, slot: int,
+                          set_length: Optional[int] = None) -> None:
         # Allocator ids are shifted +1 (physical page 0 is the trash page);
         # entries beyond the allocated count stay 0 → trash.
         npages = self._alloc.num_pages(slot)
         mask = np.zeros(self.ccfg.max_pages_per_seq, np.int32)
         mask[:npages] = 1
         row = jnp.asarray((self._alloc.table(slot) + 1) * mask)
-        # reset_length: at ADMISSION the slot's device-side length must drop
-        # to zero before the first chunk's paged prefix attention reads it —
-        # a recycled slot's stale length would mask in [0, stale) of freshly
-        # granted (old-content) pages. Decode-time extends keep the length.
+        # set_length: at ADMISSION the slot's device-side length must be set
+        # before the first chunk's paged prefix attention reads it — 0 for a
+        # fresh prompt (a recycled slot's stale length would mask in
+        # [0, stale) of freshly granted old-content pages), or the cached
+        # prefix length for a prefix-cache hit. Decode-time extends pass
+        # None and keep the length.
         self.caches = [
             dataclasses.replace(
                 c,
                 page_tables=c.page_tables.at[slot].set(row),
-                lengths=(c.lengths.at[slot].set(0) if reset_length
-                         else c.lengths),
+                lengths=(c.lengths if set_length is None
+                         else c.lengths.at[slot].set(set_length)),
             )
             for c in self.caches
         ]
+
+    def _evict_for_pool(self) -> bool:
+        """Drop LRU prefix-cache entries until at least one page actually
+        returns to the pool (entries whose pages are still table-referenced
+        free nothing). False when the cache is drained."""
+        if self._pcache is None:
+            return False
+        while len(self._pcache):
+            if self._pcache.evict(4):
+                return True
+        return False
+
+    def _chunk_bucket(self, n: int) -> int:
+        """Prefill-chunk bucket for an n-token tail: the power-of-two
+        bucket rounded up to a page multiple (prefill_chunk writes whole
+        pages)."""
+        b = self._bucket(max(n, 1))
+        ps = self.ccfg.page_size
+        return -(-b // ps) * ps
 
     def _admit(self) -> None:
         while (
@@ -316,20 +349,49 @@ class Engine:
             and len(self.running) + len(self.prefilling) < self.ecfg.max_batch
         ):
             req = self.waiting[0]
+            ps = self.ccfg.page_size
             cs = self.ecfg.chunk_size
+            slot = self._free_slots[0]
+
+            shared = (self._pcache.match(req.prompt, ps)
+                      if self._pcache is not None else [])
+            if shared:
+                # prefix hit: table = shared pages (copy-on-write) + fresh
+                # tail pages; the tail prefills through the chunked path
+                # starting at the cached offset, attending the shared
+                # prefix through the paged kernel.
+                cached = len(shared) * ps
+                pages_needed = -(-(len(req.prompt) + 1) // ps)
+                if not self._alloc.admit_shared(
+                    slot, shared, pages_needed - len(shared)
+                ):
+                    if self._evict_for_pool():
+                        continue  # freed pool pages; retry this request
+                    break
+                self.waiting.popleft()
+                self._free_slots.popleft()
+                self._sync_slot_tables(slot, set_length=cached)
+                tail = len(req.prompt) - cached
+                self.prefilling[slot] = dict(
+                    req=req, done=cached, pages=pages_needed,
+                    chunk=min(self._chunk_bucket(tail), cs or 10**9),
+                )
+                continue
+
             chunked = cs is not None and len(req.prompt) > cs
             bucket = cs if chunked else self._bucket(len(req.prompt) + 1)
             if chunked:
                 # page-cover the whole prompt plus one decode token up front
-                pages_needed = -(-(len(req.prompt) + 1) // self.ccfg.page_size)
+                pages_needed = -(-(len(req.prompt) + 1) // ps)
             else:
-                pages_needed = -(-bucket // self.ccfg.page_size)
-            slot = self._free_slots[0]
+                pages_needed = -(-bucket // ps)
             if not self._alloc.admit(slot, pages_needed):
+                if self._evict_for_pool():
+                    continue  # cache eviction freed pages; retry
                 break  # pool exhausted; retry next step
             self.waiting.popleft()
             self._free_slots.popleft()
-            self._sync_slot_tables(slot, reset_length=True)
+            self._sync_slot_tables(slot, set_length=0)
             if chunked:
                 self.prefilling[slot] = dict(
                     req=req, done=0, pages=pages_needed
@@ -386,7 +448,7 @@ class Engine:
             return
         slot, st = next(iter(self.prefilling.items()))
         req, done = st["req"], st["done"]
-        cs = self.ecfg.chunk_size
+        cs = st.get("chunk") or self.ecfg.chunk_size
         chunk = req.prompt[done : done + cs]
         true_n = len(chunk)
         final = done + true_n >= len(req.prompt)
@@ -411,6 +473,10 @@ class Engine:
         st["done"] = done + true_n
         if st["done"] >= len(req.prompt):
             del self.prefilling[slot]
+            if self._pcache is not None:
+                self._pcache.insert(
+                    req.prompt, self._alloc.table(slot), self.ccfg.page_size
+                )
             self.running[slot] = _Running(
                 rid=req.rid,
                 slot=slot,
@@ -462,6 +528,10 @@ class Engine:
         self.caches = self._write_fn(bucket)(
             self.caches, kv, jnp.int32(slot), jnp.int32(n)
         )
+        if self._pcache is not None:
+            self._pcache.insert(
+                req.prompt, self._alloc.table(slot), self.ccfg.page_size
+            )
         tok = int(tok_dev)
         self.running[slot] = _Running(
             rid=req.rid,
@@ -491,6 +561,10 @@ class Engine:
         if self._alloc.num_pages(slot) >= self.ccfg.max_pages_per_seq:
             return "cap"
         page = self._alloc.extend(slot)
+        if page is None and self._evict_for_pool():
+            # cached-but-unused pages are the lowest class of pool citizen:
+            # evict before preempting a live sequence.
+            page = self._alloc.extend(slot)
         if page is not None:
             r.alloc_tokens += self.ccfg.page_size
             self._sync_slot_tables(slot)
