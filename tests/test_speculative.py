@@ -1,0 +1,145 @@
+"""Speculative decoding: the batched verify step must reproduce K
+sequential decode steps, and the engine's speculative mode must emit
+exactly the tokens of plain greedy decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.cache.paged_cache import CacheConfig, PagedKVCache
+from tpu_flash.models import transformer as tfm
+from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+_MCFG = tfm.ModelConfig(
+    vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+    head_dim=32, mlp_hidden=128, block_q=128, block_kv=128, dtype="float32")
+
+
+def _ccfg(dtype="float32"):
+    return CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype=dtype)
+
+
+def _seeded_caches(params, prompts):
+    """Prefill each prompt into slot i of fresh caches; returns caches and
+    per-slot stored lengths."""
+    ccfg = _ccfg()
+    caches = [PagedKVCache.create(ccfg) for _ in range(_MCFG.num_layers)]
+    pt = jnp.zeros((ccfg.max_seqs, ccfg.max_pages_per_seq), jnp.int32)
+    page = 1
+    for slot, p in enumerate(prompts):
+        npages = -(-(len(p) + 8) // ccfg.page_size)
+        pt = pt.at[slot, :npages].set(
+            jnp.arange(page, page + npages, dtype=jnp.int32))
+        page += npages
+    caches = [c.assign_pages(pt) for c in caches]
+    for slot, p in enumerate(prompts):
+        _, kv = tfm.prefill(params, jnp.asarray([p], jnp.int32), _MCFG)
+        for i, (k, v) in enumerate(kv):
+            caches[i] = caches[i].write_prompt(
+                slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1))
+    return caches
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_decode_verify_matches_sequential_steps(rng, K):
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompts = [list(rng.integers(1, 127, 11)), list(rng.integers(1, 127, 19))]
+    toks = jnp.asarray(rng.integers(1, 127, (2, K)), jnp.int32)
+    base = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    slots = jnp.asarray([0, 1], jnp.int32)
+
+    caches_v = _seeded_caches(params, prompts)
+    logits_v, caches_v = tfm.decode_verify(
+        params, toks, base, caches_v, slots, _MCFG)
+
+    caches_s = _seeded_caches(params, prompts)
+    seq_logits = []
+    for j in range(K):
+        lj, caches_s = tfm.decode_step(
+            params, toks[:, j], base + j, caches_s, slots, _MCFG)
+        seq_logits.append(lj)
+    seq_logits = jnp.stack(seq_logits, axis=1)  # (B, K, vocab)
+
+    np.testing.assert_allclose(np.asarray(logits_v), np.asarray(seq_logits),
+                               atol=1e-4, rtol=1e-4)
+    assert np.array_equal(np.argmax(np.asarray(logits_v), -1),
+                          np.argmax(np.asarray(seq_logits), -1))
+    # verify advanced every slot's length by K
+    for c_v, c_s in zip(caches_v, caches_s):
+        assert np.array_equal(np.asarray(c_v.lengths[:2]),
+                              np.asarray(c_s.lengths[:2]))
+
+
+def _serve(prompts, params, draft=None, k=0, **kw):
+    eng = Engine(params, _MCFG, _ccfg(), EngineConfig(
+        max_batch=2, speculate_k=k, **kw), draft=draft)
+    for rid, p in enumerate(prompts):
+        eng.submit(Request(rid=rid, prompt=p, max_new_tokens=8))
+    out = {f.rid: f.new_tokens for f in eng.run()}
+    return out, eng
+
+
+def test_engine_speculative_self_draft_exact(rng):
+    """Draft == target: every proposal accepted, output identical to plain
+    decoding, and the engine takes fewer decode rounds."""
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompts = [list(rng.integers(1, 127, 11)), list(rng.integers(1, 127, 19))]
+    plain, _ = _serve(prompts, params)
+    spec, eng = _serve(prompts, params, draft=(params, _MCFG), k=4)
+    assert spec == plain
+    st = eng.spec_stats()
+    assert st["proposed"] > 0
+    assert st["accepted"] == st["proposed"]  # self-draft: 100% acceptance
+
+
+def test_engine_speculative_weak_draft_exact(rng):
+    """A draft with different weights proposes mostly-wrong tokens; the
+    output must STILL equal plain greedy decoding (exactness is the
+    contract — speculation only changes the speed)."""
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    draft_params = tfm.init_params(jax.random.PRNGKey(7), _MCFG)
+    prompts = [list(rng.integers(1, 127, 11)), list(rng.integers(1, 127, 19))]
+    plain, _ = _serve(prompts, params)
+    spec, eng = _serve(prompts, params, draft=(draft_params, _MCFG), k=4)
+    assert spec == plain
+    st = eng.spec_stats()
+    assert st["proposed"] > 0
+
+
+def test_engine_speculative_eos_truncation(rng):
+    """An accepted token equal to eos_id must finish the request at eos."""
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompt = list(rng.integers(1, 127, 11))
+    plain_eng = Engine(params, _MCFG, _ccfg(), EngineConfig(max_batch=1))
+    plain_eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+    plain = plain_eng.run()[0]
+    eos = plain.new_tokens[3]  # finish mid-stream on the 4th token
+    def run(draft, k):
+        eng = Engine(params, _MCFG, _ccfg(),
+                     EngineConfig(max_batch=1, speculate_k=k), draft=draft)
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8,
+                           eos_id=eos))
+        return eng.run()[0]
+    base = run(None, 0)
+    spec = run((params, _MCFG), 4)
+    assert spec.new_tokens == base.new_tokens
+    assert spec.reason == base.reason == "eos"
+
+
+def test_engine_speculative_temperature_falls_back(rng):
+    """temperature > 0 lanes make the engine fall back to plain decoding
+    for the round (v1: greedy-only speculation) — output must still be a
+    valid full-length generation."""
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompt = list(rng.integers(1, 127, 11))
+    eng = Engine(params, _MCFG, _ccfg(),
+                 EngineConfig(max_batch=1, speculate_k=4, seed=3),
+                 draft=(params, _MCFG))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6,
+                       temperature=0.8))
+    out = eng.run()
+    assert len(out) == 1 and len(out[0].new_tokens) == 6
+    assert eng.spec_stats()["proposed"] == 0  # speculation never engaged

@@ -432,6 +432,61 @@ def decode_step_seq(params, tokens, positions, caches, slots,
     return logits, new_caches
 
 
+def decode_verify(params, tokens, positions, caches, slots,
+                  cfg: ModelConfig, pages_bound=None, tp_axis=None):
+    """Speculative-decoding verification: score K tokens per lane in ONE
+    jitted call against the paged caches.
+
+    tokens: ``(B, K)`` int32 — lane b's pending token followed by K−1 draft
+    proposals; positions: ``(B,)`` the position of ``tokens[:, 0]`` (must
+    equal the slot's stored length). Per layer, all K tokens' K/V append
+    first (K fused-append passes), then one paged-attention call rides the
+    B·K tokens on the lane axis with per-lane visible lengths
+    ``base + j + 1`` — token j attends everything up to and including
+    itself, exactly the view K sequential decode steps would give it.
+
+    Returns ``(logits (B, K, vocab) f32, new_caches)`` with every slot's
+    length advanced by K; the caller rolls lengths back to the accepted
+    prefix (rejected tokens' K/V stay as length-masked garbage).
+    """
+    _check_serving_moe(cfg)
+    from tpu_flash.ops.paged import paged_attention
+
+    b, K = tokens.shape
+    pos = positions[:, None] + jnp.arange(K, dtype=jnp.int32)[None]  # (B, K)
+    x = params["embed"][tokens]  # (B, K, dim)
+    radius = (cfg.window - 1) // 2 if cfg.attention == "sliding" else None
+    slots_flat = jnp.repeat(slots, K)          # (B·K,)
+    vis_flat = (pos + 1).reshape(-1)           # per-lane visible lengths
+    pos_flat = pos.reshape(-1)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln_attn"])
+        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qh = qp.shape[-1] // cfg.head_dim
+        kvh = kp.shape[-1] // cfg.head_dim
+        q = apply_rope(qp.reshape(b, K, qh, cfg.head_dim), pos, cfg.rope_theta)
+        k = apply_rope(kp.reshape(b, K, kvh, cfg.head_dim), pos, cfg.rope_theta)
+        v = vp.reshape(b, K, kvh, cfg.head_dim)
+        for j in range(K):  # K appends advance each slot's length by one
+            cache = cache.append(slots, k[:, j].astype(x.dtype),
+                                 v[:, j].astype(x.dtype))
+        o = paged_attention(
+            q.reshape(b * K, qh, cfg.head_dim).astype(x.dtype), cache,
+            slots_flat, lengths_override=vis_flat,
+            positions=pos_flat if radius is not None else None,
+            pages_bound=pages_bound, radius=radius,
+        )
+        o = o.reshape(b, K, qh * cfg.head_dim)
+        x = x + _psum(_mm(o, layer["wo"]), tp_axis)
+        hm = rmsnorm(x, layer["ln_mlp"])
+        x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
+        new_caches.append(cache)
+    x = rmsnorm(x, params["ln_f"])
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    return logits, new_caches
+
+
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
                 pages_bound=None, tp_axis=None, pipelined=False):
     """One decode step over the paged caches.

@@ -398,6 +398,7 @@ def paged_attention(
     new_kv=None,
     radius: Optional[int] = None,
     positions: Optional[jnp.ndarray] = None,
+    lengths_override: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
     return_lse: bool = False,
@@ -456,7 +457,16 @@ def paged_attention(
 
     pos = cache.lengths[slots].astype(jnp.int32)  # (B,)
     # with fused append the new token (at position pos) is part of the view
-    lengths = pos + 1 if append else pos
+    if lengths_override is not None:
+        # per-lane visible key counts — speculative verification rides K
+        # tokens of ONE slot on K lanes, lane j attending [0, base+j+1)
+        # (its own already-written K/V included). Incompatible with the
+        # fused append, whose write position derives from cache.lengths.
+        if append:
+            raise ValueError("lengths_override requires pre-appended K/V")
+        lengths = lengths_override.astype(jnp.int32)
+    else:
+        lengths = pos + 1 if append else pos
     # banded decode: first visible key position (current token = lengths-1
     # unless per-lane query positions are given — chunked sliding prefill)
     if radius is not None:

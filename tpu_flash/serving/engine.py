@@ -95,6 +95,11 @@ class EngineConfig:
     # repeated prefixes skip both prefill compute and page memory
     # (serving/prefix_cache.py); evicted LRU-first under pool pressure
     prefix_cache_entries: int = 4096
+    speculate_k: int = 0  # speculative decoding: tokens verified per round
+    # (pending + k−1 draft proposals in ONE target call). Needs a draft
+    # model (Engine(draft=...)); greedy-only — any temperature>0 lane makes
+    # the round fall back to plain decoding. Output is EXACTLY the plain
+    # greedy stream; only the number of target calls changes.
     seed: int = 0
 
 
@@ -107,6 +112,7 @@ class Engine:
         engine_cfg: EngineConfig = EngineConfig(),
         mesh=None,
         tp_axis: str = "model",
+        draft=None,  # (draft_params, draft ModelConfig) for speculation
     ):
         self.params = params
         self.mcfg = model_cfg
@@ -147,6 +153,31 @@ class Engine:
             engine_cfg.chunk_size % cache_cfg.page_size
         ):
             raise ValueError("chunk_size must be a multiple of page_size")
+        # ---- speculative decoding: draft model + its own paged caches
+        # (same page geometry and the SAME allocator tables — the draft
+        # pools mirror the target's slot/page structure, so no second
+        # allocator is needed) --------------------------------------------
+        self._draft = None
+        if draft is not None and engine_cfg.speculate_k > 0:
+            dparams, dcfg = draft
+            if dcfg.vocab_size != model_cfg.vocab_size:
+                raise ValueError("draft vocab must match the target's")
+            if mesh is not None:
+                raise ValueError("speculation under TP is not supported yet")
+            dccfg = dataclasses.replace(
+                cache_cfg,
+                num_kv_heads=dcfg.num_kv_heads,
+                head_dim=dcfg.head_dim,
+            )
+            self._draft = dict(
+                params=dparams, cfg=dcfg,
+                caches=[PagedKVCache.create(dccfg)
+                        for _ in range(dcfg.num_layers)],
+                lens={},       # slot → draft-cache stored length (host)
+                fns={},        # jit caches
+            )
+        self._spec_proposed = 0
+        self._spec_accepted = 0
         self._pcache = None
         if engine_cfg.prefix_cache:
             from tpu_flash.serving.prefix_cache import PrefixCache
@@ -256,6 +287,193 @@ class Engine:
             self._prefill_fns[bucket] = jax.jit(run)
         return self._prefill_fns[bucket]
 
+    # ---- speculative decoding -------------------------------------------
+
+    def spec_stats(self) -> dict:
+        return dict(proposed=self._spec_proposed,
+                    accepted=self._spec_accepted)
+
+    def _draft_prefill(self, prompt, slot: int) -> None:
+        """Seed the draft caches with the prompt's K/V (one whole-prompt
+        draft forward — the draft is small by construction)."""
+        dp = self._draft
+        n = len(prompt)
+        bucket = self._bucket(n)
+        key = ("dpre", bucket)
+        if key not in dp["fns"]:
+            dcfg = dp["cfg"]
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def run(params, caches, tokens, slot, n):
+                _, kv = tfm.prefill(params, tokens, dcfg)
+                out = []
+                for c, (k, v) in zip(caches, kv):
+                    c = c.write_prompt(
+                        slot, jnp.swapaxes(k[0], 0, 1),
+                        jnp.swapaxes(v[0], 0, 1))
+                    out.append(dataclasses.replace(
+                        c, lengths=c.lengths.at[slot].set(n)))
+                return out
+
+            dp["fns"][key] = run
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = prompt
+        dp["caches"] = dp["fns"][key](
+            dp["params"], dp["caches"], jnp.asarray(toks), jnp.int32(slot),
+            jnp.int32(n))
+        dp["lens"][slot] = n
+
+    def _draft_step_fn(self, pages_bound: int):
+        dp = self._draft
+        key = ("dstep", pages_bound)
+        if key not in dp["fns"]:
+            dcfg, trash = dp["cfg"], self._trash_slot
+
+            def run(params, caches, tokens, positions, slots):
+                logits, caches = tfm.decode_step(
+                    params, tokens, positions, caches, slots, dcfg,
+                    pages_bound=pages_bound)
+                caches = [dataclasses.replace(
+                    c, lengths=c.lengths.at[trash].set(0)) for c in caches]
+                return jnp.argmax(logits, -1).astype(jnp.int32), caches
+
+            dp["fns"][key] = jax.jit(run, donate_argnums=(1,))
+        return dp["fns"][key]
+
+    def _verify_fn(self, pages_bound: int, K: int):
+        """Target verification + on-device greedy acceptance: one call
+        scores the K tokens, computes the accepted-prefix length m per
+        lane, and rolls each slot's length back to base + m + 1 (rejected
+        tokens' K/V stay as length-masked garbage)."""
+        key = ("verify", pages_bound, K)
+        if key not in self._prefill_fns:
+            mcfg, trash = self.mcfg, self._trash_slot
+
+            def run(params, caches, toks, positions, slots):
+                logits, caches = tfm.decode_verify(
+                    params, toks, positions, caches, slots, mcfg,
+                    pages_bound=pages_bound)
+                t = jnp.argmax(logits, -1).astype(jnp.int32)      # (B, K)
+                match = (toks[:, 1:] == t[:, :-1]).astype(jnp.int32)
+                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # (B,)
+                new_len = positions + m + 1
+                caches = [dataclasses.replace(
+                    c,
+                    lengths=c.lengths.at[slots].set(new_len)
+                    .at[trash].set(0),
+                ) for c in caches]
+                return t, m, caches
+
+            self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
+        return self._prefill_fns[key]
+
+    def _set_draft_lengths_fn(self):
+        dp = self._draft
+        if "setlen" not in dp["fns"]:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(caches, slots, vals):
+                return [dataclasses.replace(
+                    c, lengths=c.lengths.at[slots].set(vals))
+                    for c in caches]
+
+            dp["fns"]["setlen"] = run
+        return dp["fns"]["setlen"]
+
+    def _decode_speculative(self, K: int) -> None:
+        """One speculative round: draft proposes K−1 tokens per lane
+        (sequential micro-steps of the small model, with catch-up feeds for
+        confirmed tokens the draft cache hasn't seen), ONE target verify
+        call scores pending + proposals, and the longest target-agreeing
+        prefix plus the target's bonus token land — byte-identical to the
+        plain greedy stream, in ~(1 + accepted)/1 fewer target calls."""
+        dp = self._draft
+        mb = self.ecfg.max_batch
+        lanes = sorted(self.running)[:mb]
+        bound = self._pages_bound_ahead(K)
+
+        # per-lane feed queues: confirmed tokens the draft hasn't stored
+        # yet, ending with the pending token (normally just [pending])
+        feeds = {s: self.running[s].tokens[dp["lens"].get(s, 0):]
+                 for s in lanes}
+        max_c = max(len(f) for f in feeds.values())
+        steps = max_c + K - 2  # catch-up then K−1 proposals for every lane
+        dpos = {s: dp["lens"].get(s, 0) for s in lanes}
+        proposals = {s: [] for s in lanes}
+        last_out = {}
+        step_fn = self._draft_step_fn(bound)
+        for si in range(steps):
+            toks_np = np.zeros(mb, np.int32)
+            pos_np = np.zeros(mb, np.int32)
+            slots_np = np.full(mb, self._trash_slot, np.int32)
+            for lane, s in enumerate(lanes):
+                f = feeds[s]
+                toks_np[lane] = (f[si] if si < len(f) else last_out[s])
+                pos_np[lane] = dpos[s]
+                slots_np[lane] = s
+                dpos[s] += 1
+            out, dp["caches"] = step_fn(
+                dp["params"], dp["caches"], jnp.asarray(toks_np),
+                jnp.asarray(pos_np), jnp.asarray(slots_np))
+            out = np.asarray(out)
+            for lane, s in enumerate(lanes):
+                if si >= len(feeds[s]) - 1:
+                    proposals[s].append(int(out[lane]))
+                last_out[s] = int(out[lane])
+
+        # target verification: pending + first K−1 proposals per lane
+        toks_np = np.zeros((mb, K), np.int32)
+        pos_np = np.zeros(mb, np.int32)
+        slots_np = np.full(mb, self._trash_slot, np.int32)
+        for lane, s in enumerate(lanes):
+            r = self.running[s]
+            toks_np[lane, 0] = r.next_token
+            toks_np[lane, 1:] = proposals[s][:K - 1]
+            pos_np[lane] = len(r.tokens) - 1
+            slots_np[lane] = s
+        t, m, self.caches = self._verify_fn(bound, K)(
+            self.params, self.caches, jnp.asarray(toks_np),
+            jnp.asarray(pos_np), jnp.asarray(slots_np))
+        t, m = np.asarray(t), np.asarray(m)
+
+        # apply accepted tokens + roll the draft back to confirmed ground
+        dlens_np = np.zeros(mb, np.int32)
+        for lane, s in enumerate(lanes):
+            r = self.running[s]
+            base = len(r.tokens) - 1
+            acc = int(m[lane])
+            self._spec_proposed += K - 1
+            self._spec_accepted += acc
+            # draft K/V is valid through the last confirmed position it
+            # actually stored: catch-up ran through base, and of the
+            # proposals d_i (at base+i) only d_1..d_{K−2} were ever fed
+            valid = base + min(acc, K - 2)
+            dlens_np[lane] = valid + 1
+            dp["lens"][s] = valid + 1
+            new_toks = [int(x) for x in toks_np[lane, 1:1 + acc]]
+            new_toks.append(int(t[lane, acc]))
+            for tok in new_toks:
+                r.tokens.append(tok)
+                r.next_token = tok
+                self._maybe_finish(s)
+                if s not in self.running:
+                    break
+        dp["caches"] = self._set_draft_lengths_fn()(
+            dp["caches"], jnp.asarray(slots_np), jnp.asarray(dlens_np))
+        for s in list(dp["lens"]):
+            if s not in self.running and s not in self.prefilling:
+                dp["lens"].pop(s)
+
+    def _pages_bound_ahead(self, ahead: int) -> int:
+        ps = self.ccfg.page_size
+        need = max(
+            -(-(len(r.tokens) + ahead) // ps) for r in self.running.values()
+        )
+        bound = 4
+        while bound < need:
+            bound *= 4
+        return min(bound, self.ccfg.max_pages_per_seq)
+
     # ---- public API -----------------------------------------------------
 
     def submit(self, req: Request) -> None:
@@ -313,15 +531,20 @@ class Engine:
         # [0, stale) of freshly granted old-content pages), or the cached
         # prefix length for a prefix-cache hit. Decode-time extends pass
         # None and keep the length.
-        self.caches = [
-            dataclasses.replace(
-                c,
-                page_tables=c.page_tables.at[slot].set(row),
-                lengths=(c.lengths if set_length is None
-                         else c.lengths.at[slot].set(set_length)),
-            )
-            for c in self.caches
-        ]
+        def sync(caches):
+            return [
+                dataclasses.replace(
+                    c,
+                    page_tables=c.page_tables.at[slot].set(row),
+                    lengths=(c.lengths if set_length is None
+                             else c.lengths.at[slot].set(set_length)),
+                )
+                for c in caches
+            ]
+
+        self.caches = sync(self.caches)
+        if self._draft is not None:
+            self._draft["caches"] = sync(self._draft["caches"])
 
     def _evict_for_pool(self) -> bool:
         """Drop LRU prefix-cache entries until at least one page actually
@@ -477,6 +700,8 @@ class Engine:
                 self._pcache.insert(
                     req.prompt, self._alloc.table(slot), self.ccfg.page_size
                 )
+            if self._draft is not None:
+                self._draft_prefill(req.prompt, slot)
             self.running[slot] = _Running(
                 rid=req.rid,
                 slot=slot,
@@ -532,6 +757,8 @@ class Engine:
             self._pcache.insert(
                 req.prompt, self._alloc.table(slot), self.ccfg.page_size
             )
+        if self._draft is not None:
+            self._draft_prefill(req.prompt, slot)
         tok = int(tok_dev)
         self.running[slot] = _Running(
             rid=req.rid,
@@ -546,8 +773,9 @@ class Engine:
         )
         self._maybe_finish(slot)
 
-    def _ensure_capacity(self, slot: int) -> str:
-        """Make sure the slot can hold one more token.
+    def _ensure_capacity(self, slot: int, ahead: int = 1) -> str:
+        """Make sure the slot can hold ``ahead`` more tokens (speculative
+        rounds write K tokens' K/V before acceptance).
 
         Returns ``"ok"`` (has/got room), ``"cap"`` (the slot already owns
         max_pages_per_seq — no extension can EVER succeed, so the request
@@ -555,21 +783,26 @@ class Engine:
         re-failing admission forever), or ``"pool"`` (transient pool
         exhaustion — preempt and retry later)."""
         r = self.running[slot]
-        pos = len(r.tokens)  # next token's K/V position is len(tokens)-1
-        if pos <= r.alloc_tokens:
-            return "ok"
-        if self._alloc.num_pages(slot) >= self.ccfg.max_pages_per_seq:
-            return "cap"
-        page = self._alloc.extend(slot)
-        if page is None and self._evict_for_pool():
-            # cached-but-unused pages are the lowest class of pool citizen:
-            # evict before preempting a live sequence.
+        # token j ahead lands at position len(tokens)-1 + j
+        need = len(r.tokens) - 1 + ahead
+        synced = False
+        while need > r.alloc_tokens:
+            if self._alloc.num_pages(slot) >= self.ccfg.max_pages_per_seq:
+                return "cap"
             page = self._alloc.extend(slot)
-        if page is not None:
+            if page is None and self._evict_for_pool():
+                # cached-but-unused pages are the lowest class of pool
+                # citizen: evict before preempting a live sequence.
+                page = self._alloc.extend(slot)
+            if page is None:
+                if synced:
+                    self._sync_slot_tables(slot)
+                return "pool"
             r.alloc_tokens += self.ccfg.page_size
+            synced = True
+        if synced:
             self._sync_slot_tables(slot)
-            return "ok"
-        return "pool"
+        return "ok"
 
     def _finish_capacity(self, slot: int) -> None:
         """Terminate a sequence that hit its per-slot page ceiling."""
@@ -616,6 +849,16 @@ class Engine:
                 self._preempt(slot)
         if not self.running:
             return
+        K = self.ecfg.speculate_k
+        if (self._draft is not None and K > 1
+                and all(r.temperature <= 0 for r in self.running.values())):
+            # greedy-only speculation; every lane must also page-cover the
+            # K pre-acceptance writes — a lane that can't (cap or pool)
+            # degrades the whole round to plain decoding, never errors.
+            if all(self._ensure_capacity(s, ahead=K) == "ok"
+                   for s in sorted(self.running)[:self.ecfg.max_batch]):
+                self._decode_speculative(K)
+                return
         mb = self.ecfg.max_batch
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
