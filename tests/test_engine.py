@@ -267,3 +267,58 @@ def test_chunked_prefill_on_recycled_slot():
         return out
 
     assert run(filler + [probe])[3] == run([probe])[0]
+
+
+def test_topk_topp_sampling():
+    """top_k=1 must equal greedy at any temperature; top_p truncation keeps
+    samples inside the nucleus; plain temperature still varies."""
+    from tpu_flash.serving.engine import _device_sample
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 64)) * 3, jnp.float32)
+    greedy = np.argmax(np.asarray(logits), -1)
+
+    def samp(t, k, p):
+        return jnp.asarray([[t, k, p]] * 4, jnp.float32)
+
+    keys = [jax.random.PRNGKey(i) for i in range(32)]
+    # top_k=1: always the argmax, regardless of temperature
+    for key in keys[:8]:
+        out = np.asarray(_device_sample(logits, samp(5.0, 1, 1.0), key))
+        assert np.array_equal(out, greedy)
+    # top_p small: sampled tokens stay inside the per-row nucleus
+    probs = np.asarray(jax.nn.softmax(logits / 2.0, axis=-1))
+    for key in keys:
+        out = np.asarray(_device_sample(logits, samp(2.0, 0, 0.3), key))
+        for b in range(4):
+            order = np.argsort(-probs[b])
+            csum = np.cumsum(probs[b][order])
+            nucleus = set(order[: int(np.searchsorted(csum, 0.3)) + 1])
+            assert int(out[b]) in nucleus
+    # no truncation: temperature sampling actually varies across keys
+    outs = {
+        tuple(np.asarray(_device_sample(logits, samp(2.0, 0, 1.0), k)))
+        for k in keys
+    }
+    assert len(outs) > 1
+
+
+def test_engine_topk_generation(rng):
+    """End-to-end: a top_k=1 request reproduces the greedy stream even at
+    high temperature."""
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    prompt = list(rng.integers(1, 127, 11))
+
+    def run(**kw):
+        eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6, **kw))
+        return eng.run()[0].new_tokens
+
+    assert run(temperature=3.0, top_k=1) == run()  # greedy-equivalent

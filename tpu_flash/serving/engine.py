@@ -36,20 +36,46 @@ from tpu_flash.cache.paged_cache import CacheConfig, PagedKVCache
 from tpu_flash.models import transformer as tfm
 
 
-def _device_sample(logits: jnp.ndarray, temps: jnp.ndarray, key) -> jnp.ndarray:
-    """On-device next-token choice: greedy for temp<=0, Gumbel-max otherwise.
+def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
+    """On-device next-token choice. ``samp``: (B, 3) f32 rows of
+    [temperature, top_k, top_p] — greedy for temp<=0, Gumbel-max over the
+    (optionally top-k / nucleus-truncated) scaled distribution otherwise.
 
     Keeps the decode loop's host traffic to one int per lane per step —
     fetching full logits over the device link costs more than the step
     itself (measured: 2 MB logits ≈ the whole decode step under the TPU
-    tunnel).
+    tunnel). The vocab sort that truncation needs runs under a lax.cond,
+    so pure-temperature/greedy batches never pay it.
     """
     logits = logits.astype(jnp.float32)
+    temps, top_k, top_p = samp[:, 0], samp[:, 1], samp[:, 2]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    scaled = logits / t
+    neg = jnp.float32(-1e30)
+
+    def truncated(scaled):
+        v = scaled.shape[-1]
+        # top-k: keep entries >= the k-th largest (ties keep extras)
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        k_idx = jnp.clip(top_k.astype(jnp.int32) - 1, 0, v - 1)
+        kth = jnp.take_along_axis(srt, k_idx[:, None], axis=-1)
+        scaled = jnp.where((top_k[:, None] > 0) & (scaled < kth), neg, scaled)
+        # nucleus: smallest prefix of the sorted distribution reaching
+        # top_p (the first token always survives)
+        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        prob = jax.nn.softmax(srt, axis=-1)
+        csum = jnp.cumsum(prob, axis=-1)
+        keep = (csum - prob) < top_p[:, None]
+        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1)
+        return jnp.where(scaled >= cutoff[:, None], scaled, neg)
+
+    scaled = jax.lax.cond(
+        jnp.any((top_k > 0) | (top_p < 1.0)), truncated, lambda s: s, scaled
+    )
     u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
     gumbel = -jnp.log(-jnp.log(u))
-    t = jnp.maximum(temps, 1e-6)[:, None]
-    sampled = jnp.argmax(logits / t + gumbel, axis=-1).astype(jnp.int32)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
@@ -59,6 +85,8 @@ class Request:
     prompt: List[int]
     max_new_tokens: int = 32
     temperature: float = 0.0
+    top_k: int = 0        # 0 = disabled; keep only the k most likely
+    top_p: float = 1.0    # nucleus sampling mass; 1.0 = disabled
     eos_id: Optional[int] = None
 
 
@@ -70,6 +98,8 @@ class _Running:
     prompt_len: int
     max_new_tokens: int
     temperature: float
+    top_k: int
+    top_p: float
     eos_id: Optional[int]
     alloc_tokens: int          # page-covered capacity
     next_token: int = -1
@@ -208,7 +238,7 @@ class Engine:
 
             pipelined = self.ecfg.pipelined_decode
 
-            def run(params, caches, tokens, positions, slots, temps, key):
+            def run(params, caches, tokens, positions, slots, samp, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, mcfg,
                     pages_bound=pages_bound, tp_axis=axis,
@@ -222,7 +252,7 @@ class Engine:
                     )
                     for c in caches
                 ]
-                return _device_sample(logits, temps, key), caches
+                return _device_sample(logits, samp, key), caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -259,14 +289,14 @@ class Engine:
         if bucket not in self._prefill_fns:
             mcfg, axis = self.mcfg, self.tp_axis
 
-            def run(params, tokens, length, temp, key):
+            def run(params, tokens, length, samp, key):
                 logits_all, kv = _prefill_all_logits(
                     params, tokens, mcfg, tp_axis=axis
                 )
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
                 )
-                tok = _device_sample(logits, temp[None], key)[0]
+                tok = _device_sample(logits, samp[None], key)[0]
                 return tok, kv
 
             if self.mesh is not None:
@@ -634,7 +664,7 @@ class Engine:
         if key not in self._prefill_fns:
             mcfg, axis = self.mcfg, self.tp_axis
 
-            def run(params, caches, tokens, offset, true_len, slot, temp, k):
+            def run(params, caches, tokens, offset, true_len, slot, samp, k):
                 logits, _, caches = tfm.prefill_chunk(
                     params, tokens, offset, true_len, caches, slot, mcfg,
                     pages_bound=pages_bound, tp_axis=axis,
@@ -644,7 +674,7 @@ class Engine:
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, keepdims=False
                 )
-                tok = _device_sample(last[None], temp[None], k)[0]
+                tok = _device_sample(last[None], samp[None], k)[0]
                 return tok, caches
 
             if self.mesh is not None:
@@ -691,7 +721,8 @@ class Engine:
         tok_dev, self.caches = self._chunk_fn(cs, pb, final)(
             self.params, self.caches, jnp.asarray(toks), jnp.int32(done),
             jnp.int32(true_n), jnp.int32(slot),
-            jnp.float32(req.temperature), sub,
+            jnp.asarray([req.temperature, req.top_k, req.top_p],
+                        jnp.float32), sub,
         )
         st["done"] = done + true_n
         if st["done"] >= len(req.prompt):
@@ -709,6 +740,8 @@ class Engine:
                 prompt_len=len(req.prompt),
                 max_new_tokens=req.max_new_tokens,
                 temperature=req.temperature,
+                top_k=req.top_k,
+                top_p=req.top_p,
                 eos_id=req.eos_id,
                 alloc_tokens=st["pages"] * self.ccfg.page_size,
                 next_token=int(tok_dev),
@@ -746,7 +779,8 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         tok_dev, kv = self._prefill_fn(bucket)(
             self.params, jnp.asarray(toks), jnp.int32(n),
-            jnp.float32(req.temperature), sub,
+            jnp.asarray([req.temperature, req.top_k, req.top_p],
+                        jnp.float32), sub,
         )
         # one donated jit writes every layer's K/V (padded tail is
         # page-covered and masked by length).
@@ -767,6 +801,8 @@ class Engine:
             prompt_len=n,
             max_new_tokens=req.max_new_tokens,
             temperature=req.temperature,
+            top_k=req.top_k,
+            top_p=req.top_p,
             eos_id=req.eos_id,
             alloc_tokens=pages * self.ccfg.page_size,
             next_token=int(tok),
@@ -835,6 +871,8 @@ class Engine:
                 prompt=r.tokens,  # resume with generated context as prompt
                 max_new_tokens=r.max_new_tokens - (len(r.tokens) - r.prompt_len),
                 temperature=r.temperature,
+                top_k=r.top_k,
+                top_p=r.top_p,
                 eos_id=r.eos_id,
             )
         )
@@ -863,7 +901,8 @@ class Engine:
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
         pos_np = np.zeros(mb, np.int32)
-        temps_np = np.zeros(mb, np.float32)
+        samp_np = np.zeros((mb, 3), np.float32)
+        samp_np[:, 2] = 1.0  # idle lanes: top_p disabled
         lanes = []
         for lane, slot in enumerate(sorted(self.running)):
             if lane >= mb:
@@ -872,7 +911,7 @@ class Engine:
             slots_np[lane] = slot
             toks_np[lane] = r.next_token
             pos_np[lane] = len(r.tokens) - 1  # position of the new token
-            temps_np[lane] = r.temperature
+            samp_np[lane] = (r.temperature, r.top_k, r.top_p)
             lanes.append(slot)
         self._key, sub = jax.random.split(self._key)
         next_tok, self.caches = self._decode_fn(self._pages_bound())(
@@ -881,7 +920,7 @@ class Engine:
             jnp.asarray(toks_np),
             jnp.asarray(pos_np),
             jnp.asarray(slots_np),
-            jnp.asarray(temps_np),
+            jnp.asarray(samp_np),
             sub,
         )
         next_tok = np.asarray(next_tok)

@@ -289,7 +289,7 @@ class SeqShardedEngine(Engine):
             mcfg, axis = self.mcfg, self.seq_axis
             trash = self._trash_slot
 
-            def run(params, caches, tokens, positions, slots, temps, key):
+            def run(params, caches, tokens, positions, slots, samp, key):
                 locals_ = [_local(c) for c in caches]
                 logits, locals_ = tfm.decode_step_seq(
                     params, tokens, positions, locals_, slots, mcfg,
@@ -302,7 +302,7 @@ class SeqShardedEngine(Engine):
                     for c in locals_
                 ]
                 return (
-                    _device_sample(logits, temps, key),
+                    _device_sample(logits, samp, key),
                     [_restack(c) for c in locals_],
                 )
 
