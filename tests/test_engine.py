@@ -322,3 +322,25 @@ def test_engine_topk_generation(rng):
         return eng.run()[0].new_tokens
 
     assert run(temperature=3.0, top_k=1) == run()  # greedy-equivalent
+
+
+def test_engine_metrics_stream(tmp_path, rng):
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    mpath = str(tmp_path / "metrics.jsonl")
+    eng = Engine(params, cfg, ccfg,
+                 EngineConfig(max_batch=2, metrics_path=mpath))
+    eng.submit(Request(rid=0, prompt=list(rng.integers(1, 127, 8)),
+                       max_new_tokens=5))
+    eng.run()
+    import json as _json
+    rows = [_json.loads(l) for l in open(mpath)]
+    assert len(rows) == eng.metrics()["steps"] > 0
+    assert sum(r["new_tokens"] for r in rows) == eng.metrics()["tokens_out"] == 5
+    assert all("free_pages" in r and "running" in r for r in rows)

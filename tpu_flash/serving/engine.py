@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
+import time
 from collections import deque
 from typing import Callable, List, Optional
 
@@ -125,6 +127,7 @@ class EngineConfig:
     # repeated prefixes skip both prefill compute and page memory
     # (serving/prefix_cache.py); evicted LRU-first under pool pressure
     prefix_cache_entries: int = 4096
+    metrics_path: Optional[str] = None  # per-step JSONL metrics stream
     speculate_k: int = 0  # speculative decoding: tokens verified per round
     # (pending + k−1 draft proposals in ONE target call). Needs a draft
     # model (Engine(draft=...)); greedy-only — any temperature>0 lane makes
@@ -208,6 +211,11 @@ class Engine:
             )
         self._spec_proposed = 0
         self._spec_accepted = 0
+        self._steps = 0
+        self._tokens_out = 0
+        self._preemptions = 0
+        self._metrics_fh = (open(engine_cfg.metrics_path, "a")
+                            if engine_cfg.metrics_path else None)
         self._pcache = None
         if engine_cfg.prefix_cache:
             from tpu_flash.serving.prefix_cache import PrefixCache
@@ -485,6 +493,7 @@ class Engine:
             for tok in new_toks:
                 r.tokens.append(tok)
                 r.next_token = tok
+                self._tokens_out += 1
                 self._maybe_finish(s)
                 if s not in self.running:
                     break
@@ -518,10 +527,47 @@ class Engine:
     def step(self) -> None:
         """Admit + prefill new requests, advance one chunked prefill, then
         advance all running sequences by one decode token."""
+        t0 = time.monotonic()
+        tok0 = self._tokens_out
         self._admit()
         self._advance_prefill()
         if self.running:
             self._decode()
+        self._steps += 1
+        if self._metrics_fh is not None:
+            row = dict(
+                step=self._steps,
+                wall_ms=round((time.monotonic() - t0) * 1e3, 3),
+                new_tokens=self._tokens_out - tok0,
+                running=len(self.running),
+                prefilling=len(self.prefilling),
+                waiting=len(self.waiting),
+                free_pages=self._alloc.num_free(),
+                preemptions=self._preemptions,
+            )
+            if self._pcache is not None:
+                row["prefix_cache"] = self._pcache.stats()
+            if self._draft is not None:
+                row["speculative"] = self.spec_stats()
+            self._metrics_fh.write(json.dumps(row) + "\n")
+            self._metrics_fh.flush()
+
+    def metrics(self) -> dict:
+        """Aggregate engine counters (the per-step stream goes to
+        ``EngineConfig.metrics_path`` as JSONL, the reference's
+        logs→figures culture applied to serving)."""
+        out = dict(
+            steps=self._steps,
+            tokens_out=self._tokens_out,
+            preemptions=self._preemptions,
+            finished=len(self.finished),
+            free_pages=self._alloc.num_free(),
+        )
+        if self._pcache is not None:
+            out["prefix_cache"] = self._pcache.stats()
+        if self._draft is not None:
+            out["speculative"] = self.spec_stats()
+        return out
 
     def run(self, max_steps: int = 10_000) -> List[FinishedRequest]:
         steps = 0
@@ -733,6 +779,7 @@ class Engine:
                 )
             if self._draft is not None:
                 self._draft_prefill(req.prompt, slot)
+            self._tokens_out += 1
             self.running[slot] = _Running(
                 rid=req.rid,
                 slot=slot,
@@ -793,6 +840,7 @@ class Engine:
             )
         if self._draft is not None:
             self._draft_prefill(req.prompt, slot)
+        self._tokens_out += 1
         tok = int(tok_dev)
         self.running[slot] = _Running(
             rid=req.rid,
@@ -863,6 +911,7 @@ class Engine:
             self._finish_capacity(slot)
             return
         r = self.running.pop(slot)
+        self._preemptions += 1
         self._alloc.free_seq(slot)
         self._free_slots.append(slot)
         self.waiting.appendleft(
@@ -929,6 +978,7 @@ class Engine:
             tok = int(next_tok[lane])
             r.tokens.append(tok)
             r.next_token = tok
+            self._tokens_out += 1
             self._maybe_finish(slot)
 
     def _maybe_finish(self, slot: int) -> None:
