@@ -129,17 +129,70 @@ def test_engine_speculative_eos_truncation(rng):
     assert spec.reason == base.reason == "eos"
 
 
-def test_engine_speculative_temperature_falls_back(rng):
-    """temperature > 0 lanes make the engine fall back to plain decoding
-    for the round (v1: greedy-only speculation) — output must still be a
-    valid full-length generation."""
+def test_engine_speculative_temperature(rng):
+    """temperature > 0 speculates through rejection sampling: generation
+    completes, is reproducible per seed, and with a self-draft every
+    proposal is accepted (p == q → the ratio test never rejects)."""
     params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
     prompt = list(rng.integers(1, 127, 11))
-    eng = Engine(params, _MCFG, _ccfg(),
-                 EngineConfig(max_batch=1, speculate_k=4, seed=3),
-                 draft=(params, _MCFG))
-    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6,
-                       temperature=0.8))
-    out = eng.run()
-    assert len(out) == 1 and len(out[0].new_tokens) == 6
-    assert eng.spec_stats()["proposed"] == 0  # speculation never engaged
+
+    def run():
+        eng = Engine(params, _MCFG, _ccfg(),
+                     EngineConfig(max_batch=1, speculate_k=4, seed=3),
+                     draft=(params, _MCFG))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6,
+                           temperature=0.8))
+        out = eng.run()
+        return out[0].new_tokens, eng.spec_stats()
+
+    toks, st = run()
+    assert len(toks) == 6
+    assert st["proposed"] > 0
+    assert st["accepted"] == st["proposed"]  # self-draft: p == q
+    assert run()[0] == toks  # same seed → same stream
+
+
+def test_spec_accept_matches_target_distribution(rng):
+    """The law of speculative sampling: marginalized over draft proposals
+    d ~ q and the accept/resample coin, the emitted token is distributed
+    per the TARGET p — for an arbitrary (mismatched) q."""
+    v = 8
+    logits_p = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    logits_q = jnp.asarray(rng.standard_normal(v), jnp.float32)
+    p = jax.nn.softmax(logits_p)
+    q = jax.nn.softmax(logits_q)
+
+    from tpu_flash.serving.engine import _spec_accept
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        d = jax.random.categorical(kd, logits_q)
+        toks = jnp.stack([jnp.int32(0), d.astype(jnp.int32)])[None]
+        # p_all[:, 0] scores the proposal; p_all[:, 1] is the bonus dist
+        p_all = jnp.stack([p, p])[None]
+        m, final = _spec_accept(toks, p_all, q[None, None], ka)
+        return jnp.where(m[0] >= 1, d.astype(jnp.int32), final[0])
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    toks = np.asarray(jax.vmap(one)(keys))
+    emp = np.bincount(toks, minlength=v) / n
+    tv = 0.5 * np.abs(emp - np.asarray(p)).sum()
+    assert tv < 0.02, f"TV distance {tv:.4f} (emp={emp}, p={np.asarray(p)})"
+
+
+def test_spec_accept_greedy_onehot_limit(rng):
+    """With one-hot p (the temp<=0 encoding) the routine reduces to exact
+    greedy token matching: accept iff the proposal is the argmax, final
+    token always the argmax of the cut position."""
+    from tpu_flash.serving.engine import _spec_accept
+
+    v = 8
+    p = jax.nn.one_hot(jnp.asarray([3]), v, dtype=jnp.float32)  # (1, 8)
+    q = jax.nn.softmax(jnp.asarray(rng.standard_normal((1, 1, v)), jnp.float32))
+    for d, expect_m in [(3, 1), (5, 0)]:
+        toks = jnp.asarray([[0, d]], jnp.int32)
+        p_all = jnp.stack([p, p], axis=1)  # (1, 2, 8)
+        m, final = _spec_accept(toks, p_all, q, jax.random.PRNGKey(0))
+        assert int(m[0]) == expect_m
+        assert int(final[0]) == 3  # argmax of p at the cut, either way

@@ -52,8 +52,20 @@ def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
     logits = logits.astype(jnp.float32)
     temps, top_k, top_p = samp[:, 0], samp[:, 1], samp[:, 2]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = _truncated_scores(logits, samp)
+    u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
+def _truncated_scores(logits: jnp.ndarray, samp: jnp.ndarray) -> jnp.ndarray:
+    """Temperature-scaled logits with top-k / nucleus truncation applied
+    (truncated entries at -1e30). The sort runs under a lax.cond, so
+    untruncated batches never pay it."""
+    temps, top_k, top_p = samp[:, 0], samp[:, 1], samp[:, 2]
     t = jnp.maximum(temps, 1e-6)[:, None]
-    scaled = logits / t
+    scaled = logits.astype(jnp.float32) / t
     neg = jnp.float32(-1e30)
 
     def truncated(scaled):
@@ -72,13 +84,60 @@ def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
         cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1)
         return jnp.where(scaled >= cutoff[:, None], scaled, neg)
 
-    scaled = jax.lax.cond(
+    return jax.lax.cond(
         jnp.any((top_k > 0) | (top_p < 1.0)), truncated, lambda s: s, scaled
     )
-    u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
-    gumbel = -jnp.log(-jnp.log(u))
-    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
-    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
+def _trunc_dist(logits: jnp.ndarray, samp: jnp.ndarray) -> jnp.ndarray:
+    """The probability distribution plain decoding samples from: truncated
+    temperature softmax, degenerating to a one-hot argmax at temp <= 0.
+    This is the p (and q) of speculative rejection sampling — defining the
+    greedy limit as one-hot makes greedy acceptance a special case of
+    accept-with-prob-min(1, p/q)."""
+    temps = samp[:, 0]
+    probs = jax.nn.softmax(_truncated_scores(logits, samp), axis=-1)
+    v = logits.shape[-1]
+    onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v, dtype=jnp.float32)
+    return jnp.where((temps <= 0.0)[:, None], onehot, probs)
+
+
+def _spec_accept(toks, p_all, q, key):
+    """Speculative rejection sampling (Leviathan et al.), greedy-inclusive.
+
+    toks: (B, K) pending token + K−1 draft proposals; p_all: (B, K, V)
+    target distributions (p_all[:, j] is the distribution of the token
+    FOLLOWING toks[:, j]); q: (B, K−1, V) the draft distributions the
+    proposals were sampled from. Proposal d_i accepts with probability
+    min(1, p(d_i)/q(d_i)); the first rejection resamples from the residual
+    norm(max(p−q, 0)); full acceptance samples the bonus from p[:, K−1].
+    With one-hot p/q (temp<=0, see _trunc_dist) this reduces exactly to
+    greedy token-matching. Emitted tokens are distributed per p — the same
+    law as plain sampling — for ANY draft.
+
+    Returns (m (B,) accepted-proposal counts, final (B,) int32 token).
+    """
+    b, K = toks.shape
+    ku, kf = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, K - 1), jnp.float32, 1e-20, 1.0)
+    d = toks[:, 1:]
+    p_d = jnp.take_along_axis(p_all[:, : K - 1], d[..., None], -1)[..., 0]
+    q_d = jnp.take_along_axis(q, d[..., None], -1)[..., 0]
+    accept = (u * q_d < p_d).astype(jnp.int32)  # u < p/q without the div
+    m = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)  # (B,)
+    # final token: residual distribution at the cut, bonus p at full accept
+    p_cut = jnp.take_along_axis(p_all, m[:, None, None], 1)[:, 0]  # (B, V)
+    q_cut = jnp.take_along_axis(
+        q, jnp.minimum(m, K - 2)[:, None, None], 1)[:, 0]
+    resid = jnp.maximum(p_cut - q_cut, 0.0)
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(rs > 1e-9, resid / rs, p_cut)  # p==q: nothing rejects
+    dist = jnp.where((m == K - 1)[:, None], p_cut, resid)
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(kf, dist.shape, jnp.float32, 1e-20, 1.0)))
+    final = jnp.argmax(jnp.log(jnp.maximum(dist, 1e-30)) + g,
+                       axis=-1).astype(jnp.int32)
+    return m, final
 
 
 @dataclasses.dataclass
@@ -130,9 +189,9 @@ class EngineConfig:
     metrics_path: Optional[str] = None  # per-step JSONL metrics stream
     speculate_k: int = 0  # speculative decoding: tokens verified per round
     # (pending + k−1 draft proposals in ONE target call). Needs a draft
-    # model (Engine(draft=...)); greedy-only — any temperature>0 lane makes
-    # the round fall back to plain decoding. Output is EXACTLY the plain
-    # greedy stream; only the number of target calls changes.
+    # model (Engine(draft=...)). Greedy streams are byte-identical to
+    # plain decoding; temperature streams follow the same truncated-softmax
+    # law via rejection sampling (_spec_accept).
     seed: int = 0
 
 
@@ -367,13 +426,17 @@ class Engine:
         if key not in dp["fns"]:
             dcfg, trash = dp["cfg"], self._trash_slot
 
-            def run(params, caches, tokens, positions, slots):
+            def run(params, caches, tokens, positions, slots, samp, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, dcfg,
                     pages_bound=pages_bound)
                 caches = [dataclasses.replace(
                     c, lengths=c.lengths.at[trash].set(0)) for c in caches]
-                return jnp.argmax(logits, -1).astype(jnp.int32), caches
+                # proposals sample from the request's OWN distribution
+                # (temp/top-k/top-p applied to the draft logits); its dist
+                # is returned for the verify step's acceptance ratio
+                return (_device_sample(logits, samp, key),
+                        _trunc_dist(logits, samp), caches)
 
             dp["fns"][key] = jax.jit(run, donate_argnums=(1,))
         return dp["fns"][key]
@@ -387,20 +450,23 @@ class Engine:
         if key not in self._prefill_fns:
             mcfg, trash = self.mcfg, self._trash_slot
 
-            def run(params, caches, toks, positions, slots):
+            def run(params, caches, toks, positions, slots, qd, samp, key):
                 logits, caches = tfm.decode_verify(
                     params, toks, positions, caches, slots, mcfg,
                     pages_bound=pages_bound)
-                t = jnp.argmax(logits, -1).astype(jnp.int32)      # (B, K)
-                match = (toks[:, 1:] == t[:, :-1]).astype(jnp.int32)
-                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # (B,)
+                b, K_, v = logits.shape
+                p_all = _trunc_dist(
+                    logits.reshape(b * K_, v),
+                    jnp.repeat(samp, K_, axis=0),
+                ).reshape(b, K_, v)
+                m, final = _spec_accept(toks, p_all, qd, key)
                 new_len = positions + m + 1
                 caches = [dataclasses.replace(
                     c,
                     lengths=c.lengths.at[slots].set(new_len)
                     .at[trash].set(0),
                 ) for c in caches]
-                return t, m, caches
+                return final, m, caches
 
             self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
         return self._prefill_fns[key]
@@ -422,9 +488,11 @@ class Engine:
         """One speculative round: draft proposes K−1 tokens per lane
         (sequential micro-steps of the small model, with catch-up feeds for
         confirmed tokens the draft cache hasn't seen), ONE target verify
-        call scores pending + proposals, and the longest target-agreeing
-        prefix plus the target's bonus token land — byte-identical to the
-        plain greedy stream, in ~(1 + accepted)/1 fewer target calls."""
+        call scores pending + proposals, and rejection sampling
+        (_spec_accept) emits tokens distributed exactly as plain decoding
+        would — greedy streams byte-identical, temperature streams from
+        the same truncated-softmax law — in ~(1 + accepted) tokens per
+        target call."""
         dp = self._draft
         mb = self.ecfg.max_batch
         lanes = sorted(self.running)[:mb]
@@ -439,7 +507,14 @@ class Engine:
         dpos = {s: dp["lens"].get(s, 0) for s in lanes}
         proposals = {s: [] for s in lanes}
         last_out = {}
+        samp_np = np.zeros((mb, 3), np.float32)
+        samp_np[:, 2] = 1.0
+        for lane, s in enumerate(lanes):
+            r = self.running[s]
+            samp_np[lane] = (r.temperature, r.top_k, r.top_p)
+        samp = jnp.asarray(samp_np)
         step_fn = self._draft_step_fn(bound)
+        q_steps = []  # per-micro-step draft dists (B, V), stay on device
         for si in range(steps):
             toks_np = np.zeros(mb, np.int32)
             pos_np = np.zeros(mb, np.int32)
@@ -450,14 +525,24 @@ class Engine:
                 pos_np[lane] = dpos[s]
                 slots_np[lane] = s
                 dpos[s] += 1
-            out, dp["caches"] = step_fn(
+            self._key, sub = jax.random.split(self._key)
+            out, qrow, dp["caches"] = step_fn(
                 dp["params"], dp["caches"], jnp.asarray(toks_np),
-                jnp.asarray(pos_np), jnp.asarray(slots_np))
+                jnp.asarray(pos_np), jnp.asarray(slots_np), samp, sub)
+            q_steps.append(qrow)
             out = np.asarray(out)
             for lane, s in enumerate(lanes):
                 if si >= len(feeds[s]) - 1:
                     proposals[s].append(int(out[lane]))
                 last_out[s] = int(out[lane])
+        # proposal i of lane s came from micro-step (len(feeds[s])−1)+i:
+        # gather each lane's K−1 draft dists out of the stacked steps
+        qall = jnp.stack(q_steps, axis=1)  # (B, S, V)
+        idx_np = np.zeros((mb, K - 1), np.int32)
+        for lane, s in enumerate(lanes):
+            idx_np[lane] = len(feeds[s]) - 1 + np.arange(K - 1)
+        qd = jnp.take_along_axis(
+            qall, jnp.asarray(idx_np)[:, :, None], axis=1)  # (B, K-1, V)
 
         # target verification: pending + first K−1 proposals per lane
         toks_np = np.zeros((mb, K), np.int32)
@@ -469,10 +554,11 @@ class Engine:
             toks_np[lane, 1:] = proposals[s][:K - 1]
             pos_np[lane] = len(r.tokens) - 1
             slots_np[lane] = s
-        t, m, self.caches = self._verify_fn(bound, K)(
+        self._key, sub = jax.random.split(self._key)
+        final, m, self.caches = self._verify_fn(bound, K)(
             self.params, self.caches, jnp.asarray(toks_np),
-            jnp.asarray(pos_np), jnp.asarray(slots_np))
-        t, m = np.asarray(t), np.asarray(m)
+            jnp.asarray(pos_np), jnp.asarray(slots_np), qd, samp, sub)
+        final, m = np.asarray(final), np.asarray(m)
 
         # apply accepted tokens + roll the draft back to confirmed ground
         dlens_np = np.zeros(mb, np.int32)
@@ -489,7 +575,7 @@ class Engine:
             dlens_np[lane] = valid + 1
             dp["lens"][s] = valid + 1
             new_toks = [int(x) for x in toks_np[lane, 1:1 + acc]]
-            new_toks.append(int(t[lane, acc]))
+            new_toks.append(int(final[lane]))
             for tok in new_toks:
                 r.tokens.append(tok)
                 r.next_token = tok
@@ -937,11 +1023,10 @@ class Engine:
         if not self.running:
             return
         K = self.ecfg.speculate_k
-        if (self._draft is not None and K > 1
-                and all(r.temperature <= 0 for r in self.running.values())):
-            # greedy-only speculation; every lane must also page-cover the
-            # K pre-acceptance writes — a lane that can't (cap or pool)
-            # degrades the whole round to plain decoding, never errors.
+        if self._draft is not None and K > 1:
+            # every lane must page-cover the K pre-acceptance writes — a
+            # lane that can't (cap or pool) degrades the whole round to
+            # plain decoding, never errors.
             if all(self._ensure_capacity(s, ahead=K) == "ok"
                    for s in sorted(self.running)[:self.ecfg.max_batch]):
                 self._decode_speculative(K)
