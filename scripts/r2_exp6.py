@@ -1,0 +1,137 @@
+"""Round-2 experiment 6: serving-feature wall-clock on the v5e.
+
+A. prefix caching: cold vs warm serve of a shared 2k-token system prompt
+   (the saved work is the whole shared-prefix prefill).
+B. speculative decoding: plain vs speculate_k in {2, 4} with a 2-layer
+   draft of the 16-layer target; reports tokens/s and acceptance.
+C. sampling-path cost: greedy vs temperature vs top-k/top-p decode step
+   (the truncation sort rides a lax.cond — greedy must not pay it).
+
+All timings are end-to-end engine wall-clock (host loop + device) —
+that is the quantity serving features exist to move; kernel-level
+numbers live in the other experiment logs.
+
+Writes JSONL rows to logs/r2_exp6.jsonl.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import numpy as np
+
+from tpu_flash.cache.paged_cache import CacheConfig
+from tpu_flash.models import transformer as tfm
+from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+LOG = open("/root/repo/logs/r2_exp6.jsonl", "a")
+
+MCFG = tfm.ModelConfig(
+    vocab_size=32000, dim=2048, num_layers=16, num_q_heads=16,
+    num_kv_heads=8, head_dim=128, dtype="bfloat16",
+    block_q=512, block_kv=512,
+)
+DRAFT_CFG = tfm.ModelConfig(
+    vocab_size=32000, dim=512, num_layers=2, num_q_heads=4,
+    num_kv_heads=4, head_dim=128, dtype="bfloat16",
+    block_q=512, block_kv=512,
+)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def row(**kw):
+    LOG.write(json.dumps(kw) + "\n")
+    LOG.flush()
+    log("  " + json.dumps(kw))
+
+
+def ccfg(total_pages=512):
+    return CacheConfig(num_kv_heads=MCFG.num_kv_heads,
+                       head_dim=MCFG.head_dim, page_size=64,
+                       total_pages=total_pages, max_seqs=24,
+                       max_pages_per_seq=64, dtype="int8")
+
+
+def serve(params, prompts, max_new=64, draft=None, warmup=True, **kw):
+    eng = Engine(params, MCFG, ccfg(), EngineConfig(max_batch=16, **kw),
+                 draft=draft)
+    if warmup:  # compile out of the timed region
+        eng.submit(Request(rid=-1, prompt=prompts[0][:64], max_new_tokens=4))
+        eng.run()
+        eng.finished.clear()
+    t0 = time.monotonic()
+    for rid, p in enumerate(prompts):
+        eng.submit(Request(rid=rid, prompt=p, max_new_tokens=max_new))
+    done = eng.run()
+    dt = time.monotonic() - t0
+    toks = sum(len(f.new_tokens) for f in done)
+    return dt, toks, eng
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    rng = np.random.default_rng(0)
+    params = tfm.init_params(jax.random.PRNGKey(0), MCFG)
+
+    if which in ("all", "A"):
+        log("=== A: prefix caching, shared 2k system prompt ===")
+        system = list(rng.integers(1, 31999, 2048))
+        prompts = [system + list(rng.integers(1, 31999, 64))
+                   for _ in range(8)]
+        dt, toks, _ = serve(params, prompts, max_new=16)
+        row(tag="A.cold", s=round(dt, 3), toks=toks,
+            tok_s=round(toks / dt, 1))
+        dt, toks, eng = serve(params, prompts, max_new=16,
+                              prefix_cache=True)
+        st = eng._pcache.stats()
+        row(tag="A.prefix_cache", s=round(dt, 3), toks=toks,
+            tok_s=round(toks / dt, 1), hits=st["hits"],
+            hit_tokens=st["hit_tokens"])
+
+    if which in ("all", "B"):
+        log("=== B: speculative decoding, 2-layer draft ===")
+        dparams = tfm.init_params(jax.random.PRNGKey(1), DRAFT_CFG)
+        prompts = [list(rng.integers(1, 31999, 128)) for _ in range(8)]
+        dt, toks, _ = serve(params, prompts, max_new=64)
+        row(tag="B.plain", s=round(dt, 3), toks=toks,
+            tok_s=round(toks / dt, 1))
+        for k in (2, 4):
+            dt, toks, eng = serve(params, prompts, max_new=64,
+                                  draft=(dparams, DRAFT_CFG), speculate_k=k)
+            st = eng.spec_stats()
+            acc = st["accepted"] / max(st["proposed"], 1)
+            row(tag=f"B.spec_k{k}", s=round(dt, 3), toks=toks,
+                tok_s=round(toks / dt, 1), accept=round(acc, 3))
+
+    if which in ("all", "C"):
+        log("=== C: sampling-path decode cost ===")
+        prompts = [list(rng.integers(1, 31999, 128)) for _ in range(8)]
+        for tag, kw in [("C.greedy", {}),
+                        ("C.temp", dict(temperature=0.8)),
+                        ("C.topk_topp", dict(temperature=0.8, top_k=50,
+                                             top_p=0.9))]:
+            eng = Engine(params, MCFG, ccfg(), EngineConfig(max_batch=16))
+            eng.submit(Request(rid=-1, prompt=prompts[0][:64],
+                               max_new_tokens=4, **kw))
+            eng.run()
+            eng.finished.clear()
+            t0 = time.monotonic()
+            for rid, p in enumerate(prompts):
+                eng.submit(Request(rid=rid, prompt=p, max_new_tokens=64,
+                                   **kw))
+            done = eng.run()
+            dt = time.monotonic() - t0
+            toks = sum(len(f.new_tokens) for f in done)
+            row(tag=tag, s=round(dt, 3), toks=toks,
+                tok_s=round(toks / dt, 1))
+
+
+if __name__ == "__main__":
+    main()
