@@ -175,3 +175,58 @@ def test_engine_eviction_under_pool_pressure(rng):
     done = eng.run()
     assert sorted(f.rid for f in done) == [0, 1, 2, 3]
     assert all(len(f.new_tokens) == 4 for f in done)
+
+
+def test_evicted_parent_never_resolves_stale_children():
+    """Chains link by monotonic entry id, not physical page id: after a
+    chain's root is evicted and its page recycled under new content, the
+    surviving child entries must be unreachable (regression: page-id keys
+    resolved a stale child whose K/V were computed under the old prefix)."""
+    a, pc = _pc(total=8)
+    A, B = list(range(16)), list(range(16, 32))
+    assert a.admit(0, 2)
+    tab = [int(p) for p in a.table(0)[:2]]
+    pc.insert(A + B, tab, 16)
+    a.free_seq(0)
+    pc.evict(1)  # LRU root (-1, A) goes; child (·, B) survives, orphaned
+    # recycle the root's page id under different content C
+    C = [99] * 16
+    assert a.admit(1, 1)
+    pc.insert(C + [1], [int(p) for p in a.table(1)[:1]], 16)
+    got = pc.match(C + B + [0], 16)
+    assert len(got) <= 1, f"stale child resolved: {got}"
+
+
+def test_top_p_zero_is_safe():
+    """top_p=0 must degenerate to keeping the single most likely token,
+    not truncate everything into a uniform draw."""
+    import jax
+    from tpu_flash.serving.engine import _device_sample
+
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]], jnp.float32)
+    samp = jnp.asarray([[0.9, 0.0, 0.0]], jnp.float32)
+    for i in range(16):
+        out = _device_sample(logits, samp, jax.random.PRNGKey(i))
+        assert int(out[0]) == 1
+
+
+def test_speculate_k_one_rejected(rng):
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    with pytest.raises(ValueError, match="speculate_k"):
+        Engine(params, _MCFG, _ccfg(),
+               EngineConfig(max_batch=1, speculate_k=1),
+               draft=(params, _MCFG))
+
+
+def test_seq_engine_rejects_prefix_cache(rng):
+    from jax.sharding import Mesh
+    from tpu_flash.serving.seq_engine import SeqShardedEngine
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    with pytest.raises(NotImplementedError, match="prefix caching"):
+        SeqShardedEngine(params, _MCFG, _ccfg(),
+                         EngineConfig(max_batch=1, prefix_cache=True),
+                         mesh=mesh)

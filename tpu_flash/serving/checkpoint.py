@@ -102,12 +102,20 @@ def save_checkpoint(path: str, engine: Engine) -> None:
         json.dump(host, f, default=_np_default)
 
 
-def load_checkpoint(path: str, mesh=None, tp_axis: str = "model") -> Engine:
+def load_checkpoint(path: str, mesh=None, tp_axis: str = "model",
+                    draft=None) -> Engine:
     """Rebuild an engine from :func:`save_checkpoint` output and resume.
 
     A snapshot taken from a tensor-parallel engine must be restored with a
     ``mesh`` (the params/caches may not fit, and the topology silently
     changing is never what the operator wants).
+
+    ``draft``: (draft_params, draft ModelConfig) — REQUIRED when the
+    snapshot's EngineConfig has speculate_k > 0 (draft weights are the
+    operator's to supply, like the mesh; silently resuming without one
+    would quietly decode plain). Restored running sequences have no draft
+    K/V — the first speculative round's catch-up feeds replay their
+    histories through the draft.
     """
     path = os.path.abspath(path)
     with open(os.path.join(path, _HOST_STATE)) as f:
@@ -128,8 +136,13 @@ def load_checkpoint(path: str, mesh=None, tp_axis: str = "model") -> Engine:
     ckpt = ocp.PyTreeCheckpointer()
     arrays = ckpt.restore(os.path.join(path, _ARRAYS))
 
+    if ecfg.speculate_k > 0 and draft is None:
+        raise ValueError(
+            f"checkpoint was saved with speculate_k={ecfg.speculate_k}; "
+            "pass draft=(params, cfg) to restore speculative decoding "
+            "(resuming without one would silently decode plain)")
     engine = Engine(arrays["params"], mcfg, ccfg, ecfg, mesh=mesh,
-                    tp_axis=tp_axis)
+                    tp_axis=tp_axis, draft=draft)
     # Overwrite freshly-created caches with the snapshot (page tables,
     # lengths, scales and data all live in the pytree).
     import jax.numpy as jnp

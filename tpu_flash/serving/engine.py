@@ -70,18 +70,22 @@ def _truncated_scores(logits: jnp.ndarray, samp: jnp.ndarray) -> jnp.ndarray:
 
     def truncated(scaled):
         v = scaled.shape[-1]
-        # top-k: keep entries >= the k-th largest (ties keep extras)
+        # ONE descending sort serves both filters: the top-k mask is
+        # order-preserving in sorted space, so the nucleus pass reuses it.
         srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        # top-k: keep entries >= the k-th largest (ties keep extras)
         k_idx = jnp.clip(top_k.astype(jnp.int32) - 1, 0, v - 1)
         kth = jnp.take_along_axis(srt, k_idx[:, None], axis=-1)
-        scaled = jnp.where((top_k[:, None] > 0) & (scaled < kth), neg, scaled)
+        kmask = top_k[:, None] > 0
+        srt = jnp.where(kmask & (srt < kth), neg, srt)
         # nucleus: smallest prefix of the sorted distribution reaching
-        # top_p (the first token always survives)
-        srt = jnp.sort(scaled, axis=-1)[:, ::-1]
+        # top_p; the max of top_p with a tiny epsilon keeps the first
+        # (most likely) token alive even for a degenerate top_p = 0
         prob = jax.nn.softmax(srt, axis=-1)
         csum = jnp.cumsum(prob, axis=-1)
-        keep = (csum - prob) < top_p[:, None]
+        keep = (csum - prob) < jnp.maximum(top_p, 1e-9)[:, None]
         cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1)
+        scaled = jnp.where(kmask & (scaled < kth), neg, scaled)
         return jnp.where(scaled >= cutoff[:, None], scaled, neg)
 
     return jax.lax.cond(
@@ -159,10 +163,12 @@ class _Running:
     prompt_len: int
     max_new_tokens: int
     temperature: float
-    top_k: int
-    top_p: float
-    eos_id: Optional[int]
-    alloc_tokens: int          # page-covered capacity
+    # defaults keep _Running(**row) working for checkpoints written before
+    # a field existed
+    top_k: int = 0
+    top_p: float = 1.0
+    eos_id: Optional[int] = None
+    alloc_tokens: int = 0      # page-covered capacity
     next_token: int = -1
 
 
@@ -251,6 +257,10 @@ class Engine:
         # allocator is needed) --------------------------------------------
         self._draft = None
         if draft is not None and engine_cfg.speculate_k > 0:
+            if engine_cfg.speculate_k < 2:
+                raise ValueError(
+                    "speculate_k must be >= 2 (one pending + >=1 proposal);"
+                    " k=1 would pay the draft prefills for nothing")
             dparams, dcfg = draft
             if dcfg.vocab_size != model_cfg.vocab_size:
                 raise ValueError("draft vocab must match the target's")
@@ -338,19 +348,25 @@ class Engine:
             self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(1,))
         return self._decode_fns[pages_bound]
 
-    def _pages_bound(self) -> int:
-        if self.ecfg.pages_bound is not None:
-            return self.ecfg.pages_bound
+    def _pages_bound(self, ahead: int = 0) -> int:
         ps = self.ccfg.page_size
         need = max(
-            -(-(len(r.tokens)) // ps) for r in self.running.values()
+            -(-(len(r.tokens) + ahead) // ps) for r in self.running.values()
         )
         # powers of 4 (4, 16, 64, …): ≤ log4(max_pages) jit variants, since
         # each bucket crossing costs a fresh compile of the decode step.
         bound = 4
         while bound < need:
             bound *= 4
-        return min(bound, self.ccfg.max_pages_per_seq)
+        bound = min(bound, self.ccfg.max_pages_per_seq)
+        if self.ecfg.pages_bound is not None:
+            if ahead:
+                # user-pinned static cap; a speculative round may need to
+                # scan past it for the K pre-acceptance writes
+                return min(max(self.ecfg.pages_bound, bound),
+                           self.ccfg.max_pages_per_seq)
+            return self.ecfg.pages_bound
+        return bound
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_fns:
@@ -496,7 +512,7 @@ class Engine:
         dp = self._draft
         mb = self.ecfg.max_batch
         lanes = sorted(self.running)[:mb]
-        bound = self._pages_bound_ahead(K)
+        bound = self._pages_bound(ahead=K)
 
         # per-lane feed queues: confirmed tokens the draft hasn't stored
         # yet, ending with the pending token (normally just [pending])
@@ -589,15 +605,7 @@ class Engine:
             if s not in self.running and s not in self.prefilling:
                 dp["lens"].pop(s)
 
-    def _pages_bound_ahead(self, ahead: int) -> int:
-        ps = self.ccfg.page_size
-        need = max(
-            -(-(len(r.tokens) + ahead) // ps) for r in self.running.values()
-        )
-        bound = 4
-        while bound < need:
-            bound *= 4
-        return min(bound, self.ccfg.max_pages_per_seq)
+
 
     # ---- public API -----------------------------------------------------
 
@@ -637,6 +645,17 @@ class Engine:
                 row["speculative"] = self.spec_stats()
             self._metrics_fh.write(json.dumps(row) + "\n")
             self._metrics_fh.flush()
+
+    def close(self) -> None:
+        if self._metrics_fh is not None:
+            self._metrics_fh.close()
+            self._metrics_fh = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def metrics(self) -> dict:
         """Aggregate engine counters (the per-step stream goes to

@@ -51,7 +51,15 @@ class PrefixCache:
     def __init__(self, alloc, max_entries: int = 4096):
         self._alloc = alloc
         self._max = max_entries
-        self._map: OrderedDict = OrderedDict()  # (parent, tokens) -> page
+        # (parent_entry_id, tokens) -> (page, entry_id). Chains link by a
+        # MONOTONIC entry id, never the physical page id: page ids recycle
+        # through the pool, and keying children by a recycled parent page
+        # would resolve stale entries (K/V computed under a different
+        # prefix) after the parent's eviction. Entry ids never recycle, so
+        # a chain whose parent was evicted is simply unreachable until LRU
+        # drains it.
+        self._map: OrderedDict = OrderedDict()
+        self._next_id = 0
         self.hits = 0
         self.misses = 0
         self.hit_tokens = 0
@@ -71,12 +79,12 @@ class PrefixCache:
         max_full = (len(prompt) - 1) // page_size
         for i in range(max_full):
             key = (parent, tuple(prompt[i * page_size:(i + 1) * page_size]))
-            page = self._map.get(key)
-            if page is None:
+            hit = self._map.get(key)
+            if hit is None:
                 break
             self._map.move_to_end(key)
+            page, parent = hit
             pages.append(page)
-            parent = page
         if pages:
             self.hits += 1
             self.hit_tokens += len(pages) * page_size
@@ -98,13 +106,14 @@ class PrefixCache:
             cur = self._map.get(key)
             if cur is not None:
                 self._map.move_to_end(key)
-                parent = cur
+                parent = cur[1]
                 continue
             page = int(table[i])
             if not self._alloc.retain(page):
                 break  # page not live (shouldn't happen mid-prefill)
-            self._map[key] = page
-            parent = page
+            self._next_id += 1
+            self._map[key] = (page, self._next_id)
+            parent = self._next_id
             if len(self._map) > self._max:
                 self.evict(1)
 
@@ -116,7 +125,7 @@ class PrefixCache:
         """
         freed = 0
         for _ in range(min(n, len(self._map))):
-            _, page = self._map.popitem(last=False)
+            _, (page, _id) = self._map.popitem(last=False)
             if self._alloc.refcount(page) == 1:
                 freed += 1
             self._alloc.release(page)

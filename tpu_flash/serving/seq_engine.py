@@ -91,6 +91,16 @@ class SeqShardedEngine(Engine):
             )
         if model_cfg.attention == "sliding":
             raise NotImplementedError("seq-sharded decode is causal-only")
+        if engine_cfg.prefix_cache:
+            # the base class would bind the PrefixCache to an allocator
+            # this engine replaces with per-shard allocators — the feature
+            # would silently no-op (every retain fails); reject instead
+            raise NotImplementedError(
+                "prefix caching is not composed with sequence sharding")
+        if engine_cfg.speculate_k > 0:
+            raise NotImplementedError(
+                "speculative decoding is not composed with sequence "
+                "sharding")
         super().__init__(params, model_cfg, cache_cfg, engine_cfg, mesh=None)
         self.mesh = mesh
         self.seq_axis = seq_axis
