@@ -152,6 +152,28 @@ def test_engine_speculative_temperature(rng):
     assert run()[0] == toks  # same seed → same stream
 
 
+def test_engine_speculative_under_tp(rng):
+    """Speculation composes with tensor parallelism: the target verify
+    call shard_maps over the mesh while the (small) draft runs unsharded;
+    greedy output must equal the plain single-device stream."""
+    from jax.sharding import Mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompts = [list(rng.integers(1, 127, 11)), list(rng.integers(1, 127, 19))]
+    plain, _ = _serve(prompts, params)
+
+    eng = Engine(params, _MCFG, _ccfg(), EngineConfig(
+        max_batch=2, speculate_k=4), mesh=mesh, draft=(params, _MCFG))
+    for rid, p in enumerate(prompts):
+        eng.submit(Request(rid=rid, prompt=p, max_new_tokens=8))
+    spec = {f.rid: f.new_tokens for f in eng.run()}
+    assert spec == plain
+    assert eng.spec_stats()["proposed"] > 0
+
+
 def test_spec_accept_matches_target_distribution(rng):
     """The law of speculative sampling: marginalized over draft proposals
     d ~ q and the accept/resample coin, the emitted token is distributed

@@ -264,8 +264,10 @@ class Engine:
             dparams, dcfg = draft
             if dcfg.vocab_size != model_cfg.vocab_size:
                 raise ValueError("draft vocab must match the target's")
-            if mesh is not None:
-                raise ValueError("speculation under TP is not supported yet")
+            # Under TP the draft stays UNsharded: it is small by
+            # construction, so its prefills/micro-steps run plain
+            # single-device jits while only the target's verify call is
+            # shard_map'd over the mesh (qd/samp enter replicated).
             dccfg = dataclasses.replace(
                 cache_cfg,
                 num_kv_heads=dcfg.num_kv_heads,
@@ -465,11 +467,12 @@ class Engine:
         key = ("verify", pages_bound, K)
         if key not in self._prefill_fns:
             mcfg, trash = self.mcfg, self._trash_slot
+            axis = self.tp_axis
 
             def run(params, caches, toks, positions, slots, qd, samp, key):
                 logits, caches = tfm.decode_verify(
                     params, toks, positions, caches, slots, mcfg,
-                    pages_bound=pages_bound)
+                    pages_bound=pages_bound, tp_axis=axis)
                 b, K_, v = logits.shape
                 p_all = _trunc_dist(
                     logits.reshape(b * K_, v),
@@ -484,6 +487,20 @@ class Engine:
                 ) for c in caches]
                 return final, m, caches
 
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from tpu_flash.parallel.shardings import (
+                    cache_pspecs, param_pspecs,
+                )
+
+                pp = param_pspecs(self.params, axis)
+                cs = [cache_pspecs(c, axis) for c in self.caches]
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(pp, cs, P(), P(), P(), P(), P(), P()),
+                    out_specs=(P(), P(), cs),
+                    check_vma=False,
+                )
             self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
         return self._prefill_fns[key]
 
