@@ -344,3 +344,32 @@ def test_engine_metrics_stream(tmp_path, rng):
     assert len(rows) == eng.metrics()["steps"] > 0
     assert sum(r["new_tokens"] for r in rows) == eng.metrics()["tokens_out"] == 5
     assert all("free_pages" in r and "running" in r for r in rows)
+
+
+def test_logprobs_returned(rng):
+    """FinishedRequest carries one raw log-softmax logprob per generated
+    token; greedy logprobs equal the max log-softmax by construction and
+    the speculative stream reports the same values as the plain one."""
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    prompt = list(rng.integers(1, 127, 11))
+
+    def run(**kw):
+        eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1,
+                                                     **kw.pop("ecfg", {})),
+                     **kw)
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=5))
+        return eng.run()[0]
+
+    plain = run()
+    assert len(plain.logprobs) == len(plain.new_tokens) == 5
+    assert all(-20.0 < lp <= 0.0 for lp in plain.logprobs)
+    spec = run(draft=(params, cfg), ecfg=dict(speculate_k=4))
+    assert spec.new_tokens == plain.new_tokens
+    np.testing.assert_allclose(spec.logprobs, plain.logprobs, atol=1e-4)

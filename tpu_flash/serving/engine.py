@@ -59,6 +59,19 @@ def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
+def _sample_packed(logits, samp, key):
+    """(token, logprob) packed into one (B, 2) f32 array — a single
+    device fetch per decode step (each fetched buffer is a ~30 ms round
+    trip under the TPU tunnel). The logprob is the chosen token's raw
+    log-softmax (the model distribution, untempered — the standard
+    serving-API quantity)."""
+    tok = _device_sample(logits, samp, key)
+    lp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+        tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    return jnp.stack([tok.astype(jnp.float32), lp], axis=1)
+
+
 def _truncated_scores(logits: jnp.ndarray, samp: jnp.ndarray) -> jnp.ndarray:
     """Temperature-scaled logits with top-k / nucleus truncation applied
     (truncated entries at -1e30). The sort runs under a lax.cond, so
@@ -170,6 +183,7 @@ class _Running:
     eos_id: Optional[int] = None
     alloc_tokens: int = 0      # page-covered capacity
     next_token: int = -1
+    logprobs: List[float] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -178,6 +192,8 @@ class FinishedRequest:
     tokens: List[int]
     new_tokens: List[int]
     reason: str  # "length" | "eos" | "cap"
+    # raw log-softmax of each generated token under the model distribution
+    logprobs: List[float] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -331,7 +347,7 @@ class Engine:
                     )
                     for c in caches
                 ]
-                return _device_sample(logits, samp, key), caches
+                return _sample_packed(logits, samp, key), caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -381,8 +397,8 @@ class Engine:
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
                 )
-                tok = _device_sample(logits, samp[None], key)[0]
-                return tok, kv
+                tok_lp = _sample_packed(logits, samp[None], key)[0]
+                return tok_lp, kv
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -479,13 +495,22 @@ class Engine:
                     jnp.repeat(samp, K_, axis=0),
                 ).reshape(b, K_, v)
                 m, final = _spec_accept(toks, p_all, qd, key)
+                # raw log-softmax logprobs of the emitted tokens: each
+                # accepted proposal at its scoring position, the final
+                # token at the cut position
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                lp_prop = jnp.take_along_axis(
+                    logp[:, : K_ - 1], toks[:, 1:, None], -1)[..., 0]
+                lp_cut = jnp.take_along_axis(logp, m[:, None, None], 1)[:, 0]
+                lp_final = jnp.take_along_axis(
+                    lp_cut, final[:, None], -1)[:, 0]
                 new_len = positions + m + 1
                 caches = [dataclasses.replace(
                     c,
                     lengths=c.lengths.at[slots].set(new_len)
                     .at[trash].set(0),
                 ) for c in caches]
-                return final, m, caches
+                return final, m, lp_prop, lp_final, caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -498,7 +523,7 @@ class Engine:
                 run = jax.shard_map(
                     run, mesh=self.mesh,
                     in_specs=(pp, cs, P(), P(), P(), P(), P(), P()),
-                    out_specs=(P(), P(), cs),
+                    out_specs=(P(), P(), P(), P(), cs),
                     check_vma=False,
                 )
             self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
@@ -588,10 +613,11 @@ class Engine:
             pos_np[lane] = len(r.tokens) - 1
             slots_np[lane] = s
         self._key, sub = jax.random.split(self._key)
-        final, m, self.caches = self._verify_fn(bound, K)(
+        final, m, lp_prop, lp_final, self.caches = self._verify_fn(bound, K)(
             self.params, self.caches, jnp.asarray(toks_np),
             jnp.asarray(pos_np), jnp.asarray(slots_np), qd, samp, sub)
         final, m = np.asarray(final), np.asarray(m)
+        lp_prop, lp_final = np.asarray(lp_prop), np.asarray(lp_final)
 
         # apply accepted tokens + roll the draft back to confirmed ground
         dlens_np = np.zeros(mb, np.int32)
@@ -609,9 +635,12 @@ class Engine:
             dp["lens"][s] = valid + 1
             new_toks = [int(x) for x in toks_np[lane, 1:1 + acc]]
             new_toks.append(int(final[lane]))
-            for tok in new_toks:
+            new_lps = [float(x) for x in lp_prop[lane, :acc]]
+            new_lps.append(float(lp_final[lane]))
+            for tok, lp in zip(new_toks, new_lps):
                 r.tokens.append(tok)
                 r.next_token = tok
+                r.logprobs.append(lp)
                 self._tokens_out += 1
                 self._maybe_finish(s)
                 if s not in self.running:
@@ -838,12 +867,11 @@ class Engine:
                     pages_bound=pages_bound, tp_axis=axis,
                 )
                 if not final:
-                    return jnp.int32(-1), caches
+                    return jnp.full((2,), -1.0, jnp.float32), caches
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, keepdims=False
                 )
-                tok = _device_sample(last[None], samp[None], k)[0]
-                return tok, caches
+                return _sample_packed(last[None], samp[None], k)[0], caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -886,7 +914,7 @@ class Engine:
             self._key, sub = jax.random.split(self._key)
         else:
             sub = self._key  # unused by the non-final variant
-        tok_dev, self.caches = self._chunk_fn(cs, pb, final)(
+        tok_lp, self.caches = self._chunk_fn(cs, pb, final)(
             self.params, self.caches, jnp.asarray(toks), jnp.int32(done),
             jnp.int32(true_n), jnp.int32(slot),
             jnp.asarray([req.temperature, req.top_k, req.top_p],
@@ -902,10 +930,11 @@ class Engine:
             if self._draft is not None:
                 self._draft_prefill(req.prompt, slot)
             self._tokens_out += 1
+            tok_lp = np.asarray(tok_lp)
             self.running[slot] = _Running(
                 rid=req.rid,
                 slot=slot,
-                tokens=list(req.prompt) + [int(tok_dev)],
+                tokens=list(req.prompt) + [int(tok_lp[0])],
                 prompt_len=len(req.prompt),
                 max_new_tokens=req.max_new_tokens,
                 temperature=req.temperature,
@@ -913,7 +942,8 @@ class Engine:
                 top_p=req.top_p,
                 eos_id=req.eos_id,
                 alloc_tokens=st["pages"] * self.ccfg.page_size,
-                next_token=int(tok_dev),
+                next_token=int(tok_lp[0]),
+                logprobs=[float(tok_lp[1])],
             )
             self._maybe_finish(slot)
 
@@ -946,7 +976,7 @@ class Engine:
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = req.prompt
         self._key, sub = jax.random.split(self._key)
-        tok_dev, kv = self._prefill_fn(bucket)(
+        tok_lp, kv = self._prefill_fn(bucket)(
             self.params, jnp.asarray(toks), jnp.int32(n),
             jnp.asarray([req.temperature, req.top_k, req.top_p],
                         jnp.float32), sub,
@@ -963,11 +993,12 @@ class Engine:
         if self._draft is not None:
             self._draft_prefill(req.prompt, slot)
         self._tokens_out += 1
-        tok = int(tok_dev)
+        tok_lp = np.asarray(tok_lp)
+        tok = int(tok_lp[0])
         self.running[slot] = _Running(
             rid=req.rid,
             slot=slot,
-            tokens=list(req.prompt) + [int(tok)],
+            tokens=list(req.prompt) + [tok],
             prompt_len=n,
             max_new_tokens=req.max_new_tokens,
             temperature=req.temperature,
@@ -975,7 +1006,8 @@ class Engine:
             top_p=req.top_p,
             eos_id=req.eos_id,
             alloc_tokens=pages * self.ccfg.page_size,
-            next_token=int(tok),
+            next_token=tok,
+            logprobs=[float(tok_lp[1])],
         )
         self._maybe_finish(slot)
 
@@ -1019,6 +1051,7 @@ class Engine:
                 tokens=list(r.tokens),
                 new_tokens=r.tokens[r.prompt_len:],
                 reason="cap",
+                logprobs=list(r.logprobs),
             )
         )
         self._alloc.free_seq(slot)
@@ -1084,7 +1117,7 @@ class Engine:
             samp_np[lane] = (r.temperature, r.top_k, r.top_p)
             lanes.append(slot)
         self._key, sub = jax.random.split(self._key)
-        next_tok, self.caches = self._decode_fn(self._pages_bound())(
+        packed, self.caches = self._decode_fn(self._pages_bound())(
             self.params,
             self.caches,
             jnp.asarray(toks_np),
@@ -1093,12 +1126,13 @@ class Engine:
             jnp.asarray(samp_np),
             sub,
         )
-        next_tok = np.asarray(next_tok)
+        packed = np.asarray(packed)
         for lane, slot in enumerate(lanes):
             r = self.running[slot]
-            tok = int(next_tok[lane])
+            tok = int(packed[lane, 0])
             r.tokens.append(tok)
             r.next_token = tok
+            r.logprobs.append(float(packed[lane, 1]))
             self._tokens_out += 1
             self._maybe_finish(slot)
 
@@ -1119,6 +1153,7 @@ class Engine:
                     tokens=list(r.tokens),
                     new_tokens=r.tokens[r.prompt_len:],
                     reason=reason,
+                    logprobs=list(r.logprobs)[: len(r.tokens) - r.prompt_len],
                 )
             )
             del self.running[slot]

@@ -38,7 +38,7 @@ from tpu_flash.models import transformer as tfm
 from tpu_flash.serving.engine import (
     Engine,
     EngineConfig,
-    _device_sample,
+    _sample_packed,
 )
 
 
@@ -312,7 +312,7 @@ class SeqShardedEngine(Engine):
                     for c in locals_
                 ]
                 return (
-                    _device_sample(logits, samp, key),
+                    _sample_packed(logits, samp, key),
                     [_restack(c) for c in locals_],
                 )
 
