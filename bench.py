@@ -40,6 +40,31 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _device_ready(probe_timeout: int = 120, retries: int = 8,
+                  wait_s: int = 60) -> bool:
+    """The device tunnel sporadically goes down for tens of minutes, and a
+    hung in-process ``jax.devices()`` cannot be cancelled — probe device
+    init in a subprocess and retry before giving up, so the driver gets a
+    structured failure line instead of a wedged benchmark."""
+    import subprocess
+    import time
+
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"device init unresponsive (attempt {i + 1}/{retries}); "
+            f"retrying in {wait_s}s")
+        time.sleep(wait_s)
+    return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seqlen", type=int, default=8192)
@@ -54,6 +79,18 @@ def main() -> None:
                          "default: the kernel's tuned default")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
+
+    if not _device_ready():
+        # honest structured failure: the driver records a line either way
+        print(json.dumps({
+            "metric": f"dense_fa {args.dtype} TFLOP/s, seqlen "
+                      f"{args.seqlen}, 1 chip",
+            "value": 0.0,
+            "unit": "TFLOP/s",
+            "vs_baseline": 0.0,
+            "error": "TPU device tunnel unreachable after retries",
+        }), flush=True)
+        sys.exit(1)
 
     import functools
 
