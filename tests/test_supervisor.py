@@ -184,3 +184,33 @@ def test_checkpoint_rotation(tmp_path, params):
     assert len(snaps) <= 2
     with open(os.path.join(d, "LATEST")) as f:
         assert f.read().strip() == snaps[-1]
+
+
+def test_crash_recovery_with_speculation(tmp_path, params):
+    """Recovery re-attaches the draft (Supervisor(draft=...)): the
+    restored speculative engine reproduces the uninterrupted greedy
+    stream exactly — including sequences that were mid-generation when
+    the crash hit (their draft caches replay through catch-up feeds)."""
+    fired = []
+
+    def fault(step, engine):
+        if step == 3 and not fired:
+            fired.append(step)
+            raise RuntimeError("injected device failure")
+
+    def make():
+        return Engine(params, _MCFG, _CCFG,
+                      EngineConfig(max_batch=4, speculate_k=3),
+                      draft=(params, _MCFG))
+
+    sup = Supervisor(
+        make,
+        SupervisorConfig(
+            dir=str(tmp_path / "sup"), checkpoint_every=2, fault_hook=fault
+        ),
+        draft=(params, _MCFG),
+    )
+    _submit_all(sup)
+    done = sorted((f.rid, tuple(f.tokens)) for f in sup.run())
+    assert fired and sup.restarts == 1
+    assert done == _reference_tokens(params)

@@ -81,11 +81,15 @@ class Supervisor:
         *,
         mesh=None,
         tp_axis: str = "model",
+        draft=None,  # (draft_params, draft cfg): re-attached on recovery
+        # when the snapshot's EngineConfig uses speculation (draft weights,
+        # like the mesh, are the operator's to supply at restore time)
     ):
         self.cfg = cfg
         self._make_engine = make_engine
         self._mesh = mesh
         self._tp_axis = tp_axis
+        self._draft = draft
         os.makedirs(cfg.dir, exist_ok=True)
         self.restarts = 0
         self.step_index = 0
@@ -178,7 +182,8 @@ class Supervisor:
         latest = self._latest_path()
         if latest is not None:
             engine = load_checkpoint(
-                latest, mesh=self._mesh, tp_axis=self._tp_axis
+                latest, mesh=self._mesh, tp_axis=self._tp_axis,
+                draft=self._draft,
             )
             # the snapshot name carries its step index — rewind so the
             # step counter (and snapshot naming) tracks the restored state
