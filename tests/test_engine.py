@@ -373,3 +373,43 @@ def test_logprobs_returned(rng):
     spec = run(draft=(params, cfg), ecfg=dict(speculate_k=4))
     assert spec.new_tokens == plain.new_tokens
     np.testing.assert_allclose(spec.logprobs, plain.logprobs, atol=1e-4)
+
+
+def test_stop_sequences(rng):
+    """Generation finishes with reason='stop' as soon as the generated
+    tail matches a stop sequence; the stop only matches fully-generated
+    tokens (never straddles the prompt boundary), and speculation's
+    accepted tokens respect it mid-round."""
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    prompt = list(rng.integers(1, 127, 11))
+
+    def run(stop=(), draft=None, k=0):
+        eng = Engine(params, cfg, ccfg,
+                     EngineConfig(max_batch=1, speculate_k=k), draft=draft)
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8,
+                           stop_sequences=stop))
+        return eng.run()[0]
+
+    plain = run()
+    assert plain.reason == "length" and len(plain.new_tokens) == 8
+    # stop at a 2-token sequence from the plain stream (repeated tokens
+    # may make an EARLIER occurrence the true first match — assert the
+    # invariants, not a position)
+    ss = (tuple(plain.new_tokens[3:5]),)
+    stopped = run(stop=ss)
+    assert stopped.reason == "stop"
+    assert tuple(stopped.new_tokens[-2:]) == ss[0]
+    assert stopped.new_tokens == plain.new_tokens[:len(stopped.new_tokens)]
+    # a "stop" equal to the prompt tail must NOT fire at produced=0
+    pre = run(stop=(tuple(prompt[-2:]),))
+    assert pre.reason == "length"
+    # speculation: identical stopping point
+    spec = run(stop=ss, draft=(params, cfg), k=4)
+    assert spec.reason == "stop" and spec.new_tokens == stopped.new_tokens

@@ -166,6 +166,10 @@ class Request:
     top_k: int = 0        # 0 = disabled; keep only the k most likely
     top_p: float = 1.0    # nucleus sampling mass; 1.0 = disabled
     eos_id: Optional[int] = None
+    # finish when the GENERATED tail ends with any of these token
+    # sequences (checked host-side after each emitted token; composes
+    # with speculation — an accepted proposal can complete a stop)
+    stop_sequences: tuple = ()
 
 
 @dataclasses.dataclass
@@ -184,6 +188,7 @@ class _Running:
     alloc_tokens: int = 0      # page-covered capacity
     next_token: int = -1
     logprobs: List[float] = dataclasses.field(default_factory=list)
+    stop_sequences: tuple = ()
 
 
 @dataclasses.dataclass
@@ -191,7 +196,7 @@ class FinishedRequest:
     rid: int
     tokens: List[int]
     new_tokens: List[int]
-    reason: str  # "length" | "eos" | "cap"
+    reason: str  # "length" | "eos" | "stop" | "cap"
     # raw log-softmax of each generated token under the model distribution
     logprobs: List[float] = dataclasses.field(default_factory=list)
 
@@ -941,6 +946,7 @@ class Engine:
                 top_k=req.top_k,
                 top_p=req.top_p,
                 eos_id=req.eos_id,
+                stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
                 alloc_tokens=st["pages"] * self.ccfg.page_size,
                 next_token=int(tok_lp[0]),
                 logprobs=[float(tok_lp[1])],
@@ -1005,6 +1011,7 @@ class Engine:
             top_k=req.top_k,
             top_p=req.top_p,
             eos_id=req.eos_id,
+            stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
             alloc_tokens=pages * self.ccfg.page_size,
             next_token=tok,
             logprobs=[float(tok_lp[1])],
@@ -1078,6 +1085,7 @@ class Engine:
                 top_k=r.top_k,
                 top_p=r.top_p,
                 eos_id=r.eos_id,
+                stop_sequences=r.stop_sequences,
             )
         )
 
@@ -1144,6 +1152,12 @@ class Engine:
         reason = None
         if r.eos_id is not None and r.tokens[-1] == r.eos_id:
             reason = "eos"
+        elif any(
+            len(ss) and produced >= len(ss)
+            and tuple(r.tokens[-len(ss):]) == tuple(ss)
+            for ss in r.stop_sequences
+        ):
+            reason = "stop"
         elif produced >= r.max_new_tokens:
             reason = "length"
         if reason:
