@@ -413,3 +413,41 @@ def test_stop_sequences(rng):
     # speculation: identical stopping point
     spec = run(stop=ss, draft=(params, cfg), k=4)
     assert spec.reason == "stop" and spec.new_tokens == stopped.new_tokens
+
+
+def test_stream_yields_tokens_incrementally(rng):
+    """engine.stream() yields every generated token (with its logprob) in
+    emit order, then the FinishedRequest; the reassembled streams equal
+    run()'s output exactly."""
+    from tpu_flash.serving.engine import FinishedRequest
+
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    prompts = [list(rng.integers(1, 127, 8)), list(rng.integers(1, 127, 12))]
+
+    def make():
+        eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=2))
+        for rid, p in enumerate(prompts):
+            eng.submit(Request(rid=rid, prompt=p, max_new_tokens=6))
+        return eng
+
+    ref = {f.rid: (f.new_tokens, f.logprobs) for f in make().run()}
+
+    streams, lps, finished = {}, {}, {}
+    for item in make().stream():
+        if isinstance(item, FinishedRequest):
+            finished[item.rid] = item
+        else:
+            rid, tok, lp = item
+            streams.setdefault(rid, []).append(tok)
+            lps.setdefault(rid, []).append(lp)
+    assert set(finished) == {0, 1}
+    for rid, (toks, lp_ref) in ref.items():
+        assert streams[rid] == toks
+        np.testing.assert_allclose(lps[rid], lp_ref, atol=1e-6)

@@ -732,6 +732,31 @@ class Engine:
             steps += 1
         return self.finished
 
+    def stream(self, max_steps: int = 10_000):
+        """Generator form of :meth:`run`: yields ``(rid, token, logprob)``
+        for every generated token as soon as its engine step lands (a
+        speculative round can yield several per rid at once), then the
+        FinishedRequest when a request completes. Tokens stream in emit
+        order, so a caller can forward them to clients incrementally."""
+        emitted: dict[int, int] = {}  # rid → tokens already yielded
+        done_seen = 0
+        steps = 0
+        while (self.waiting or self.running or self.prefilling) and steps < max_steps:
+            self.step()
+            steps += 1
+            for r in list(self.running.values()):
+                n = len(r.tokens) - r.prompt_len
+                for i in range(emitted.get(r.rid, 0), n):
+                    yield (r.rid, r.tokens[r.prompt_len + i], r.logprobs[i])
+                emitted[r.rid] = n
+            while done_seen < len(self.finished):
+                f = self.finished[done_seen]
+                done_seen += 1
+                for i in range(emitted.pop(f.rid, 0), len(f.new_tokens)):
+                    yield (f.rid, f.new_tokens[i],
+                           f.logprobs[i] if i < len(f.logprobs) else None)
+                yield f
+
     # ---- internals ------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
