@@ -14,7 +14,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <list>
 #include <mutex>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -55,6 +57,44 @@ struct PagePool {
 
   void drop_ref(int32_t p) {
     if (--refs[p] == 0) free_stack.push_back(p);
+  }
+
+  // ---- prefix-cache index (content-addressed full prompt pages) -------
+  //
+  // Chains link by a MONOTONIC entry id (never a recyclable page id): a
+  // key is (parent_entry_id, page_tokens); the chain anchors at -1. Each
+  // entry holds one page reference; eviction is LRU via an intrusive
+  // list. This is the host-runtime hot path of prefix caching — admission
+  // walks it once per request — so it lives next to the allocator it
+  // retains pages from.
+  struct PcKey {
+    int64_t parent;
+    std::vector<int32_t> toks;
+    bool operator==(const PcKey& o) const {
+      return parent == o.parent && toks == o.toks;
+    }
+  };
+  struct PcKeyHash {
+    size_t operator()(const PcKey& k) const {
+      size_t h = std::hash<int64_t>()(k.parent);
+      for (int32_t t : k.toks) h = h * 1000003u + static_cast<size_t>(t) + 1;
+      return h;
+    }
+  };
+  struct PcEntry {
+    int32_t page;
+    int64_t id;
+    std::list<PcKey>::iterator lru_it;  // position in lru (front = oldest)
+  };
+  std::unordered_map<PcKey, PcEntry, PcKeyHash> pc_map;
+  std::list<PcKey> pc_lru;
+  int64_t pc_next_id = 0;
+  int64_t pc_hits = 0, pc_misses = 0, pc_hit_tokens = 0;
+
+  void pc_touch(PcEntry& e, const PcKey& k) {
+    pc_lru.erase(e.lru_it);
+    pc_lru.push_back(k);
+    e.lru_it = std::prev(pc_lru.end());
   }
 };
 
@@ -207,6 +247,121 @@ int32_t pp_restore(void* h, int32_t slot, const int32_t* pages, int32_t n) {
   pool->tables[slot].assign(pages, pages + n);
   pool->active[slot] = 1;
   return 0;
+}
+
+namespace {
+
+// mutex must be held; returns 1 if the evicted entry's page went free
+int32_t pc_evict_one(PagePool* pool) {
+  if (pool->pc_lru.empty()) return -1;
+  PagePool::PcKey key = pool->pc_lru.front();
+  pool->pc_lru.pop_front();
+  auto it = pool->pc_map.find(key);
+  if (it == pool->pc_map.end()) return 0;  // should not happen
+  int32_t page = it->second.page;
+  int32_t freed = pool->refs[page] == 1 ? 1 : 0;
+  pool->drop_ref(page);
+  pool->pc_map.erase(it);
+  return freed;
+}
+
+}  // namespace
+
+// Prefix-cache match: longest cached page chain covering a page-aligned
+// prefix of `tokens` (always leaving >= 1 token for the tail prefill).
+// Writes the page ids to `out` (capacity `cap`); returns the count and
+// updates LRU order + hit stats.
+int32_t pp_pc_match(void* h, const int32_t* tokens, int32_t n,
+                    int32_t page_size, int32_t* out, int32_t cap) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (page_size <= 0 || n <= 0) return 0;
+  int64_t parent = -1;
+  int32_t found = 0;
+  int32_t max_full = (n - 1) / page_size;
+  PagePool::PcKey key;
+  for (int32_t i = 0; i < max_full && found < cap; ++i) {
+    key.parent = parent;
+    key.toks.assign(tokens + i * page_size, tokens + (i + 1) * page_size);
+    auto it = pool->pc_map.find(key);
+    if (it == pool->pc_map.end()) break;
+    pool->pc_touch(it->second, key);
+    out[found++] = it->second.page;
+    parent = it->second.id;
+  }
+  if (found > 0) {
+    ++pool->pc_hits;
+    pool->pc_hit_tokens += static_cast<int64_t>(found) * page_size;
+  } else {
+    ++pool->pc_misses;
+  }
+  return found;
+}
+
+// Prefix-cache insert: index the full pages of `tokens`, backed by the
+// slot's page-id `table` (npages entries, in order). Existing entries
+// dedupe (the chain continues through the cached copy); each NEWLY
+// indexed page gains one reference. LRU-evicts past `max_entries`.
+void pp_pc_insert(void* h, const int32_t* tokens, int32_t n,
+                  const int32_t* table, int32_t npages, int32_t page_size,
+                  int32_t max_entries) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  if (page_size <= 0) return;
+  int64_t parent = -1;
+  int32_t full = n / page_size;
+  if (full > npages) full = npages;
+  PagePool::PcKey key;
+  for (int32_t i = 0; i < full; ++i) {
+    key.parent = parent;
+    key.toks.assign(tokens + i * page_size, tokens + (i + 1) * page_size);
+    auto it = pool->pc_map.find(key);
+    if (it != pool->pc_map.end()) {
+      pool->pc_touch(it->second, key);
+      parent = it->second.id;
+      continue;
+    }
+    int32_t page = table[i];
+    if (page < 0 || page >= pool->total_pages || pool->refs[page] <= 0)
+      break;  // page not live — cannot index it
+    ++pool->refs[page];
+    int64_t id = ++pool->pc_next_id;
+    pool->pc_lru.push_back(key);
+    pool->pc_map.emplace(
+        key, PagePool::PcEntry{page, id, std::prev(pool->pc_lru.end())});
+    parent = id;
+    while (static_cast<int32_t>(pool->pc_map.size()) > max_entries)
+      pc_evict_one(pool);
+  }
+}
+
+// Release the n least-recently-used entries; returns how many pages
+// actually returned to the free pool.
+int32_t pp_pc_evict(void* h, int32_t n) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  int32_t freed = 0;
+  for (int32_t i = 0; i < n && !pool->pc_lru.empty(); ++i) {
+    int32_t f = pc_evict_one(pool);
+    if (f > 0) freed += f;
+  }
+  return freed;
+}
+
+int32_t pp_pc_len(void* h) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  return static_cast<int32_t>(pool->pc_map.size());
+}
+
+// out4: [hits, misses, hit_tokens, entries]
+void pp_pc_stats(void* h, int64_t* out4) {
+  auto* pool = static_cast<PagePool*>(h);
+  std::lock_guard<std::mutex> lock(pool->mu);
+  out4[0] = pool->pc_hits;
+  out4[1] = pool->pc_misses;
+  out4[2] = pool->pc_hit_tokens;
+  out4[3] = static_cast<int64_t>(pool->pc_map.size());
 }
 
 int32_t pp_num_pages(void* h, int32_t slot) {

@@ -63,13 +63,14 @@ def test_admit_shared_rejects_dead_pages(force_python):
 # ---- the index -----------------------------------------------------------
 
 
-def _pc(total=32):
-    a = PageAllocator(total, 4, 16, force_python=True)
+def _pc(total=32, force_python=True):
+    a = PageAllocator(total, 4, 16, force_python=force_python)
     return a, PrefixCache(a)
 
 
-def test_match_insert_chain():
-    a, pc = _pc()
+@pytest.mark.parametrize("force_python", [True, False])
+def test_match_insert_chain(force_python):
+    a, pc = _pc(force_python=force_python)
     prompt = list(range(40))  # page_size 16 → 2 full pages + tail 8
     assert a.admit(0, 3)
     table = a.table(0)[:3]
@@ -88,8 +89,9 @@ def test_match_insert_chain():
     assert len(pc.match(prompt[:32], 16)) == 1
 
 
-def test_evict_releases_refs():
-    a, pc = _pc()
+@pytest.mark.parametrize("force_python", [True, False])
+def test_evict_releases_refs(force_python):
+    a, pc = _pc(force_python=force_python)
     prompt = list(range(32))
     assert a.admit(0, 2)
     table = a.table(0)[:2]
@@ -177,12 +179,13 @@ def test_engine_eviction_under_pool_pressure(rng):
     assert all(len(f.new_tokens) == 4 for f in done)
 
 
-def test_evicted_parent_never_resolves_stale_children():
+@pytest.mark.parametrize("force_python", [True, False])
+def test_evicted_parent_never_resolves_stale_children(force_python):
     """Chains link by monotonic entry id, not physical page id: after a
     chain's root is evicted and its page recycled under new content, the
     surviving child entries must be unreachable (regression: page-id keys
     resolved a stale child whose K/V were computed under the old prefix)."""
-    a, pc = _pc(total=8)
+    a, pc = _pc(total=8, force_python=force_python)
     A, B = list(range(16)), list(range(16, 32))
     assert a.admit(0, 2)
     tab = [int(p) for p in a.table(0)[:2]]

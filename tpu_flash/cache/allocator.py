@@ -74,6 +74,31 @@ def _load_native():
         lib.pp_release.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         lib.pp_refcount.restype = ctypes.c_int32
         lib.pp_refcount.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.pp_pc_match.restype = ctypes.c_int32
+        lib.pp_pc_match.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.pp_pc_insert.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.pp_pc_evict.restype = ctypes.c_int32
+        lib.pp_pc_evict.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.pp_pc_len.restype = ctypes.c_int32
+        lib.pp_pc_len.argtypes = [ctypes.c_void_p]
+        lib.pp_pc_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)
+        ]
         _lib = lib
     except Exception:
         _lib = None

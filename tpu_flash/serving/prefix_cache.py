@@ -51,6 +51,12 @@ class PrefixCache:
     def __init__(self, alloc, max_entries: int = 4096):
         self._alloc = alloc
         self._max = max_entries
+        # Native pool available → the index lives in C++ next to the
+        # refcounts it manipulates (csrc/pagepool.cpp pp_pc_*): one lock
+        # covers match/insert/evict and the page references they take,
+        # and the admission hot path stays out of Python. The pure-Python
+        # structures below are the fallback (and the semantics reference).
+        self._native = alloc.native
         # (parent_entry_id, tokens) -> (page, entry_id). Chains link by a
         # MONOTONIC entry id, never the physical page id: page ids recycle
         # through the pool, and keying children by a recycled parent page
@@ -65,6 +71,8 @@ class PrefixCache:
         self.hit_tokens = 0
 
     def __len__(self) -> int:
+        if self._native:
+            return self._alloc._lib.pp_pc_len(self._alloc._h)
         return len(self._map)
 
     def match(self, prompt: Sequence[int], page_size: int) -> List[int]:
@@ -74,6 +82,16 @@ class PrefixCache:
         run a (tail) prefill to produce next-token logits. Returns the
         allocator page ids, oldest first; updates LRU order and stats.
         """
+        if self._native:
+            import ctypes
+
+            n = len(prompt)
+            toks = (ctypes.c_int32 * max(1, n))(*(list(prompt) or [0]))
+            cap = max(1, (n - 1) // page_size)
+            out = (ctypes.c_int32 * cap)()
+            got = self._alloc._lib.pp_pc_match(
+                self._alloc._h, toks, n, page_size, out, cap)
+            return [int(out[i]) for i in range(max(0, got))]
         pages: List[int] = []
         parent = -1
         max_full = (len(prompt) - 1) // page_size
@@ -100,6 +118,17 @@ class PrefixCache:
         the chain continues through the cached copy). Each newly indexed
         page gains a cache reference so it survives its sequence.
         """
+        if self._native:
+            import ctypes
+
+            n = len(prompt)
+            npages = min(n // page_size, len(table))
+            toks = (ctypes.c_int32 * max(1, n))(*(list(prompt) or [0]))
+            tab = (ctypes.c_int32 * max(1, npages))(
+                *([int(p) for p in table[:npages]] or [0]))
+            self._alloc._lib.pp_pc_insert(
+                self._alloc._h, toks, n, tab, npages, page_size, self._max)
+            return
         parent = -1
         for i in range(len(prompt) // page_size):
             key = (parent, tuple(prompt[i * page_size:(i + 1) * page_size]))
@@ -123,6 +152,8 @@ class PrefixCache:
         Returns how many pages actually went back to the free pool (an
         entry whose page is still table-referenced frees nothing yet).
         """
+        if self._native:
+            return self._alloc._lib.pp_pc_evict(self._alloc._h, n)
         freed = 0
         for _ in range(min(n, len(self._map))):
             _, (page, _id) = self._map.popitem(last=False)
@@ -132,8 +163,15 @@ class PrefixCache:
         return freed
 
     def clear(self) -> None:
-        self.evict(len(self._map))
+        self.evict(len(self))
 
     def stats(self) -> dict:
+        if self._native:
+            import ctypes
+
+            out = (ctypes.c_int64 * 4)()
+            self._alloc._lib.pp_pc_stats(self._alloc._h, out)
+            return dict(hits=int(out[0]), misses=int(out[1]),
+                        hit_tokens=int(out[2]), entries=int(out[3]))
         return dict(entries=len(self._map), hits=self.hits,
                     misses=self.misses, hit_tokens=self.hit_tokens)
