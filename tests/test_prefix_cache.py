@@ -233,3 +233,22 @@ def test_seq_engine_rejects_prefix_cache(rng):
         SeqShardedEngine(params, _MCFG, _ccfg(),
                          EngineConfig(max_batch=1, prefix_cache=True),
                          mesh=mesh)
+
+
+def test_prefix_cache_composes_with_speculation(rng):
+    """Both features on: a cache-hit speculative serve still produces
+    exactly the cold plain-engine tokens (the draft's whole-prompt prefill
+    rewrites shared draft-pool pages with identical content — idempotent)."""
+    params = tfm.init_params(jax.random.PRNGKey(0), _MCFG)
+    prompt = list(rng.integers(1, 127, 40))
+
+    cold, _ = _serve([prompt], prefix_cache=False)
+
+    eng = Engine(params, _MCFG, _ccfg(), EngineConfig(
+        max_batch=2, prefix_cache=True, speculate_k=3),
+        draft=(params, _MCFG))
+    for rid in range(2):
+        eng.submit(Request(rid=rid, prompt=prompt, max_new_tokens=6))
+    out = {f.rid: f.new_tokens for f in eng.run()}
+    assert out[0] == cold[0] and out[1] == cold[0]
+    assert eng.spec_stats()["proposed"] > 0
