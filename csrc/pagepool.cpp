@@ -84,17 +84,18 @@ struct PagePool {
   struct PcEntry {
     int32_t page;
     int64_t id;
-    std::list<PcKey>::iterator lru_it;  // position in lru (front = oldest)
+    // position in pc_lru (front = oldest); the list stores POINTERS to
+    // the map keys, so each token vector exists exactly once and an LRU
+    // touch is an O(1) splice with no copies
+    std::list<const PcKey*>::iterator lru_it;
   };
   std::unordered_map<PcKey, PcEntry, PcKeyHash> pc_map;
-  std::list<PcKey> pc_lru;
+  std::list<const PcKey*> pc_lru;
   int64_t pc_next_id = 0;
   int64_t pc_hits = 0, pc_misses = 0, pc_hit_tokens = 0;
 
-  void pc_touch(PcEntry& e, const PcKey& k) {
-    pc_lru.erase(e.lru_it);
-    pc_lru.push_back(k);
-    e.lru_it = std::prev(pc_lru.end());
+  void pc_touch(PcEntry& e) {
+    pc_lru.splice(pc_lru.end(), pc_lru, e.lru_it);
   }
 };
 
@@ -254,9 +255,9 @@ namespace {
 // mutex must be held; returns 1 if the evicted entry's page went free
 int32_t pc_evict_one(PagePool* pool) {
   if (pool->pc_lru.empty()) return -1;
-  PagePool::PcKey key = pool->pc_lru.front();
+  const PagePool::PcKey* key = pool->pc_lru.front();
   pool->pc_lru.pop_front();
-  auto it = pool->pc_map.find(key);
+  auto it = pool->pc_map.find(*key);
   if (it == pool->pc_map.end()) return 0;  // should not happen
   int32_t page = it->second.page;
   int32_t freed = pool->refs[page] == 1 ? 1 : 0;
@@ -285,7 +286,7 @@ int32_t pp_pc_match(void* h, const int32_t* tokens, int32_t n,
     key.toks.assign(tokens + i * page_size, tokens + (i + 1) * page_size);
     auto it = pool->pc_map.find(key);
     if (it == pool->pc_map.end()) break;
-    pool->pc_touch(it->second, key);
+    pool->pc_touch(it->second);
     out[found++] = it->second.page;
     parent = it->second.id;
   }
@@ -317,7 +318,7 @@ void pp_pc_insert(void* h, const int32_t* tokens, int32_t n,
     key.toks.assign(tokens + i * page_size, tokens + (i + 1) * page_size);
     auto it = pool->pc_map.find(key);
     if (it != pool->pc_map.end()) {
-      pool->pc_touch(it->second, key);
+      pool->pc_touch(it->second);
       parent = it->second.id;
       continue;
     }
@@ -326,9 +327,12 @@ void pp_pc_insert(void* h, const int32_t* tokens, int32_t n,
       break;  // page not live — cannot index it
     ++pool->refs[page];
     int64_t id = ++pool->pc_next_id;
-    pool->pc_lru.push_back(key);
-    pool->pc_map.emplace(
-        key, PagePool::PcEntry{page, id, std::prev(pool->pc_lru.end())});
+    // emplace first, then point the LRU node at the map-owned key
+    // (unordered_map rehash never invalidates element references)
+    auto ins = pool->pc_map.emplace(
+        key, PagePool::PcEntry{page, id, pool->pc_lru.end()});
+    pool->pc_lru.push_back(&ins.first->first);
+    ins.first->second.lru_it = std::prev(pool->pc_lru.end());
     parent = id;
     while (static_cast<int32_t>(pool->pc_map.size()) > max_entries)
       pc_evict_one(pool);

@@ -451,3 +451,68 @@ def test_stream_yields_tokens_incrementally(rng):
     for rid, (toks, lp_ref) in ref.items():
         assert streams[rid] == toks
         np.testing.assert_allclose(lps[rid], lp_ref, atol=1e-6)
+
+
+def _small_setup(rng):
+    cfg = tfm.ModelConfig(
+        vocab_size=128, dim=64, num_layers=2, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=128, block_kv=128,
+        dtype="float32")
+    params = tfm.init_params(jax.random.PRNGKey(0), cfg)
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=64, max_seqs=4, max_pages_per_seq=8,
+                       dtype="float32")
+    return cfg, params, ccfg
+
+
+def test_stop_sequence_across_preemption(rng):
+    """A stop whose match straddles a preemption boundary (first token
+    absorbed into the requeued prompt) must still fire: matching counts
+    tokens generated since the ORIGINAL prompt."""
+    cfg, params, ccfg = _small_setup(rng)
+    prompt = list(rng.integers(1, 127, 11))
+
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+    plain = eng.run()[0].new_tokens
+
+    ss = (tuple(plain[1:3]),)  # straddles when we preempt after 2 tokens
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8,
+                       stop_sequences=ss))
+    while not eng.running or len(eng.running[
+            next(iter(eng.running))].tokens) - len(prompt) < 2:
+        eng.step()
+    eng._preempt(next(iter(eng.running)))  # absorbs plain[:2] into prompt
+    out = eng.run()[0]
+    assert out.reason == "stop"
+    assert tuple(out.tokens[-2:]) == ss[0]
+
+
+def test_stream_across_preemption(rng):
+    """stream() across a preemption yields every generated token exactly
+    once: pre-preempt yields + post-resume yields == the full plain
+    generation (no silent gap, no duplicates)."""
+    cfg, params, ccfg = _small_setup(rng)
+    from tpu_flash.serving.engine import FinishedRequest
+
+    prompt = list(rng.integers(1, 127, 11))
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+    plain = eng.run()[0].new_tokens
+
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1))
+    eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=8))
+    orig_step, count = eng.step, {"n": 0}
+
+    def step():
+        # preempt BEFORE the step's decode, like real pool pressure does
+        count["n"] += 1
+        if count["n"] == 4 and eng.running:
+            eng._preempt(next(iter(eng.running)))
+        orig_step()
+
+    eng.step = step
+    toks = [item[1] for item in eng.stream()
+            if not isinstance(item, FinishedRequest)]
+    assert toks == plain

@@ -214,3 +214,9 @@ def test_crash_recovery_with_speculation(tmp_path, params):
     done = sorted((f.rid, tuple(f.tokens)) for f in sup.run())
     assert fired and sup.restarts == 1
     assert done == _reference_tokens(params)
+    # the draft caches' page tables must be re-synced on restore: a
+    # self-draft accepts 100% only if the replayed draft K/V is real
+    # (unsynced tables write the history into the trash page and
+    # acceptance collapses while tokens stay correct)
+    st = sup.engine.spec_stats()
+    assert st["proposed"] > 0 and st["accepted"] == st["proposed"]

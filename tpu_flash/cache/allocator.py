@@ -287,6 +287,42 @@ class PageAllocator:
         self._active[slot] = True
         return True
 
+    # ---- native prefix-cache index (csrc pp_pc_*) ----------------------
+    # The index lives in the pool (one mutex covers it and the page refs
+    # it takes); these wrappers own the ctypes marshalling so the
+    # PrefixCache facade never touches the handle. All native-only — the
+    # pure-Python PrefixCache fallback keeps its own structures.
+
+    def pc_match(self, tokens, page_size: int):
+        n = len(tokens)
+        toks = (ctypes.c_int32 * max(1, n))(*(list(tokens) or [0]))
+        cap = max(1, (n - 1) // page_size) if n else 1
+        out = (ctypes.c_int32 * cap)()
+        got = self._lib.pp_pc_match(self._h, toks, n, page_size, out, cap)
+        return [int(out[i]) for i in range(max(0, got))]
+
+    def pc_insert(self, tokens, table, page_size: int,
+                  max_entries: int) -> None:
+        n = len(tokens)
+        npages = min(n // page_size, len(table))
+        toks = (ctypes.c_int32 * max(1, n))(*(list(tokens) or [0]))
+        tab = (ctypes.c_int32 * max(1, npages))(
+            *([int(p) for p in table[:npages]] or [0]))
+        self._lib.pp_pc_insert(self._h, toks, n, tab, npages, page_size,
+                               max_entries)
+
+    def pc_evict(self, n: int) -> int:
+        return self._lib.pp_pc_evict(self._h, n)
+
+    def pc_len(self) -> int:
+        return self._lib.pp_pc_len(self._h)
+
+    def pc_stats(self) -> dict:
+        out = (ctypes.c_int64 * 4)()
+        self._lib.pp_pc_stats(self._h, out)
+        return dict(hits=int(out[0]), misses=int(out[1]),
+                    hit_tokens=int(out[2]), entries=int(out[3]))
+
     def table(self, slot: int) -> np.ndarray:
         """Slot's page ids padded with zeros to max_pages_per_seq."""
         out = np.zeros(self.max_pages_per_seq, np.int32)

@@ -187,6 +187,14 @@ def load_checkpoint(path: str, mesh=None, tp_axis: str = "model",
     for s, table in host["alloc_tables"].items():
         if not engine._alloc.restore(int(s), table):
             raise RuntimeError(f"allocator restore failed for slot {s}")
+    if draft is not None:
+        # the target caches' page tables came back inside the snapshot,
+        # but the freshly-created DRAFT caches' tables are all zeros (the
+        # trash page) — without a sync the first speculative round's
+        # catch-up replay writes every history into page 0 and acceptance
+        # silently collapses. Sync re-derives both from the allocator.
+        for s in host["alloc_tables"]:
+            engine._sync_slot_tables(int(s))
     engine._rng.bit_generator.state = host["rng_state"]
     engine._key = jnp.asarray(np.asarray(host["sample_key"], np.uint32))
     return engine

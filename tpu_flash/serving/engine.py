@@ -170,6 +170,10 @@ class Request:
     # sequences (checked host-side after each emitted token; composes
     # with speculation — an accepted proposal can complete a stop)
     stop_sequences: tuple = ()
+    # internal: set on preemption requeue — the ORIGINAL user prompt
+    # length, so a stop sequence straddling the preemption boundary
+    # (generated tokens absorbed into the requeued prompt) still fires
+    true_prompt_len: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -189,6 +193,7 @@ class _Running:
     next_token: int = -1
     logprobs: List[float] = dataclasses.field(default_factory=list)
     stop_sequences: tuple = ()
+    true_prompt_len: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -738,21 +743,34 @@ class Engine:
         speculative round can yield several per rid at once), then the
         FinishedRequest when a request completes. Tokens stream in emit
         order, so a caller can forward them to clients incrementally."""
-        emitted: dict[int, int] = {}  # rid → tokens already yielded
+        # rid → [prompt_len last seen, tokens yielded in that basis]. A
+        # preemption requeue absorbs generated tokens into the prompt, so
+        # token indices restart at the grown prompt_len — detected by the
+        # prompt_len change itself (queue membership races with same-step
+        # re-admission) and compensated so every token is yielded exactly
+        # once: pre-preempt yields came out of previous iterations, the
+        # resumed indices count from the new base.
+        state: dict[int, list] = {}
         done_seen = 0
         steps = 0
         while (self.waiting or self.running or self.prefilling) and steps < max_steps:
             self.step()
             steps += 1
             for r in list(self.running.values()):
+                st = state.setdefault(r.rid, [r.prompt_len, 0])
+                if r.prompt_len > st[0]:
+                    st[1] = max(0, st[1] - (r.prompt_len - st[0]))
+                    st[0] = r.prompt_len
                 n = len(r.tokens) - r.prompt_len
-                for i in range(emitted.get(r.rid, 0), n):
-                    yield (r.rid, r.tokens[r.prompt_len + i], r.logprobs[i])
-                emitted[r.rid] = n
+                for i in range(st[1], n):
+                    yield (r.rid, r.tokens[r.prompt_len + i],
+                           r.logprobs[i] if i < len(r.logprobs) else None)
+                st[1] = n
             while done_seen < len(self.finished):
                 f = self.finished[done_seen]
                 done_seen += 1
-                for i in range(emitted.pop(f.rid, 0), len(f.new_tokens)):
+                st = state.pop(f.rid, [0, 0])
+                for i in range(st[1], len(f.new_tokens)):
                     yield (f.rid, f.new_tokens[i],
                            f.logprobs[i] if i < len(f.logprobs) else None)
                 yield f
@@ -972,6 +990,7 @@ class Engine:
                 top_p=req.top_p,
                 eos_id=req.eos_id,
                 stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
+                true_prompt_len=req.true_prompt_len,
                 alloc_tokens=st["pages"] * self.ccfg.page_size,
                 next_token=int(tok_lp[0]),
                 logprobs=[float(tok_lp[1])],
@@ -1037,6 +1056,7 @@ class Engine:
             top_p=req.top_p,
             eos_id=req.eos_id,
             stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
+            true_prompt_len=req.true_prompt_len,
             alloc_tokens=pages * self.ccfg.page_size,
             next_token=tok,
             logprobs=[float(tok_lp[1])],
@@ -1111,6 +1131,9 @@ class Engine:
                 top_p=r.top_p,
                 eos_id=r.eos_id,
                 stop_sequences=r.stop_sequences,
+                true_prompt_len=(r.true_prompt_len
+                                 if r.true_prompt_len is not None
+                                 else r.prompt_len),
             )
         )
 
@@ -1174,11 +1197,17 @@ class Engine:
         if r is None:
             return
         produced = len(r.tokens) - r.prompt_len
+        # stop sequences match against everything generated since the
+        # ORIGINAL prompt — a preemption requeue absorbs generated tokens
+        # into the prompt, and a stop straddling that boundary must fire
+        gen_total = len(r.tokens) - (
+            r.true_prompt_len if r.true_prompt_len is not None
+            else r.prompt_len)
         reason = None
         if r.eos_id is not None and r.tokens[-1] == r.eos_id:
             reason = "eos"
         elif any(
-            len(ss) and produced >= len(ss)
+            len(ss) and gen_total >= len(ss)
             and tuple(r.tokens[-len(ss):]) == tuple(ss)
             for ss in r.stop_sequences
         ):

@@ -72,7 +72,7 @@ class PrefixCache:
 
     def __len__(self) -> int:
         if self._native:
-            return self._alloc._lib.pp_pc_len(self._alloc._h)
+            return self._alloc.pc_len()
         return len(self._map)
 
     def match(self, prompt: Sequence[int], page_size: int) -> List[int]:
@@ -83,15 +83,7 @@ class PrefixCache:
         allocator page ids, oldest first; updates LRU order and stats.
         """
         if self._native:
-            import ctypes
-
-            n = len(prompt)
-            toks = (ctypes.c_int32 * max(1, n))(*(list(prompt) or [0]))
-            cap = max(1, (n - 1) // page_size)
-            out = (ctypes.c_int32 * cap)()
-            got = self._alloc._lib.pp_pc_match(
-                self._alloc._h, toks, n, page_size, out, cap)
-            return [int(out[i]) for i in range(max(0, got))]
+            return self._alloc.pc_match(prompt, page_size)
         pages: List[int] = []
         parent = -1
         max_full = (len(prompt) - 1) // page_size
@@ -119,15 +111,7 @@ class PrefixCache:
         page gains a cache reference so it survives its sequence.
         """
         if self._native:
-            import ctypes
-
-            n = len(prompt)
-            npages = min(n // page_size, len(table))
-            toks = (ctypes.c_int32 * max(1, n))(*(list(prompt) or [0]))
-            tab = (ctypes.c_int32 * max(1, npages))(
-                *([int(p) for p in table[:npages]] or [0]))
-            self._alloc._lib.pp_pc_insert(
-                self._alloc._h, toks, n, tab, npages, page_size, self._max)
+            self._alloc.pc_insert(prompt, table, page_size, self._max)
             return
         parent = -1
         for i in range(len(prompt) // page_size):
@@ -153,7 +137,7 @@ class PrefixCache:
         entry whose page is still table-referenced frees nothing yet).
         """
         if self._native:
-            return self._alloc._lib.pp_pc_evict(self._alloc._h, n)
+            return self._alloc.pc_evict(n)
         freed = 0
         for _ in range(min(n, len(self._map))):
             _, (page, _id) = self._map.popitem(last=False)
@@ -167,11 +151,6 @@ class PrefixCache:
 
     def stats(self) -> dict:
         if self._native:
-            import ctypes
-
-            out = (ctypes.c_int64 * 4)()
-            self._alloc._lib.pp_pc_stats(self._alloc._h, out)
-            return dict(hits=int(out[0]), misses=int(out[1]),
-                        hit_tokens=int(out[2]), entries=int(out[3]))
+            return self._alloc.pc_stats()
         return dict(entries=len(self._map), hits=self.hits,
                     misses=self.misses, hit_tokens=self.hit_tokens)
