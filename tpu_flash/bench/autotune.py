@@ -78,7 +78,13 @@ def tune_attention_blocks(
     k = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
     v = jnp.asarray(rng.standard_normal(shape), jnp.dtype(dtype))
 
-    from tpu_flash.ops.flash import _pick_block
+    from tpu_flash.ops.flash import _pick_block, force_bh_block
+
+    # band schedules at small tiles are grid-step-latency-bound: the
+    # batch-head packing factor is a real knob there (DESIGN §12), so
+    # banded tunes sweep it alongside the block sizes. None = auto.
+    banded = schedule in ("local", "local_causal", "circulant", "block")
+    bh_opts = [None, 2, 4, 8] if banded else [None]
 
     best, best_t = None, float("inf")
     results = {}
@@ -87,25 +93,31 @@ def tune_attention_blocks(
     cands = {( _pick_block(n, bq), _pick_block(n, bkv))
              for bq, bkv in (candidates or _CANDIDATES)}
     for bq, bkv in sorted(cands):
-        try:
-            fn = jax.jit(functools.partial(
-                flash_attention, schedule=schedule, radius=radius,
-                section=section, block_q=bq, block_kv=bkv,
-            ))
-            t = time_fn(fn, q, k, v, iters=iters)
-        except Exception:  # noqa: BLE001 — invalid configs just lose
-            continue
-        results[f"{bq}x{bkv}"] = round(t * 1e6, 1)
-        if t < best_t:
-            best, best_t = (bq, bkv), t
+        for bhb in bh_opts:
+            if bhb is not None and batch_heads % bhb:
+                continue
+            try:
+                fn = jax.jit(functools.partial(
+                    flash_attention, schedule=schedule, radius=radius,
+                    section=section, block_q=bq, block_kv=bkv,
+                ))
+                with force_bh_block(bhb):
+                    t = time_fn(fn, q, k, v, iters=iters)
+            except Exception:  # noqa: BLE001 — invalid configs just lose
+                continue
+            results[f"{bq}x{bkv}" + (f"xbh{bhb}" if bhb else "")] = round(
+                t * 1e6, 1)
+            if t < best_t:
+                best, best_t = (bq, bkv, bhb), t
     if best is None:
         raise RuntimeError(f"no candidate block size compiled for {key}")
 
     if cache_path:
         table[key] = {
             "block_q": best[0], "block_kv": best[1],
+            "bh_block": best[2],
             "seconds": best_t, "all_us": results,
         }
         with open(cache_path, "w") as f:
             json.dump(table, f, indent=1, sort_keys=True)
-    return best
+    return best[0], best[1]
