@@ -174,6 +174,58 @@ def main() -> None:
         fig.savefig(path, dpi=150, bbox_inches="tight")
         print(f"wrote {path}")
 
+    # Serving features — end-to-end engine tokens/s from the r2_exp6
+    # sweep (prefix caching warm-vs-cold, speculative k, sampling paths).
+    # Wall-clock bars: these features exist to move engine throughput,
+    # not kernel FLOP/s.
+    sv = _load(os.path.join(args.logs, "r2_exp6.jsonl"))
+    if sv:
+        rows = {}
+        for r in sv:  # keep the LAST measurement of each tag
+            if "tok_s" in r:
+                rows[r["tag"]] = r
+        groups = [
+            ("prefix caching\n(2k shared prompt)",
+             [("cold", "A.cold"), ("warm", "A.prefix_cache")]),
+            ("speculative decoding\n(2-layer draft)",
+             [("plain", "B.plain"), ("k=2", "B.spec_k2"),
+              ("k=4", "B.spec_k4")]),
+            ("sampling path",
+             [("greedy", "C.greedy"), ("temp", "C.temp"),
+              ("top-k/p", "C.topk_topp")]),
+        ]
+        present = [(title, [(lbl, rows[tag]) for lbl, tag in bars
+                            if tag in rows])
+                   for title, bars in groups]
+        present = [(t, b) for t, b in present if b]
+        if present:
+            fig, axes = plt.subplots(1, len(present),
+                                     figsize=(4 * len(present), 3.6))
+            if len(present) == 1:
+                axes = [axes]
+            for ax, (title, bars) in zip(axes, present):
+                labels = [lbl for lbl, _ in bars]
+                vals = [r["tok_s"] for _, r in bars]
+                ax.bar(labels, vals, color="tab:blue", width=0.6)
+                for i, (lbl, r) in enumerate(bars):
+                    note = ""
+                    if "accept" in r:
+                        note = f"acc {r['accept']:.0%}"
+                    elif "hit_tokens" in r:
+                        note = f"{r['hit_tokens']//1000}k hit"
+                    if note:
+                        ax.annotate(note, (i, vals[i]), ha="center",
+                                    va="bottom", fontsize=7)
+                ax.set_title(title, fontsize=9)
+                ax.set_ylabel("engine tokens/s")
+                ax.grid(True, axis="y", alpha=0.25)
+            fig.suptitle("Serving features — end-to-end engine wall-clock "
+                         "(v5e)", fontsize=11)
+            fig.tight_layout()
+            path = os.path.join(args.out, "serving_features.png")
+            fig.savefig(path, dpi=150, bbox_inches="tight")
+            print(f"wrote {path}")
+
 
 if __name__ == "__main__":
     main()
