@@ -96,3 +96,39 @@ def test_windowed_fa_rejects_return_lse(rng):
     q = _rand(rng, 1, 32, 2, 16)
     with pytest.raises(NotImplementedError, match="lse"):
         tf.windowed_fa(q, q, q, 8, stride=4, return_lse=True)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_schedule_fuzz_matches_oracle(rng, trial):
+    """Property fuzz: random (n, d, schedule, radius/section, blocks) —
+    the fused kernel must match the f32 oracle on every draw, including
+    ragged tails and windows larger than the sequence."""
+    from tpu_flash.ops import flash, oracle
+
+    n = int(rng.integers(17, 500))
+    d = int(rng.choice([32, 64, 128]))
+    bq = int(rng.choice([128, 256]))
+    bkv = int(rng.choice([128, 256]))
+    b, h = 1, int(rng.integers(1, 4))
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+
+    kind = rng.choice(["dense", "causal", "sliding", "circulant"])
+    if kind == "dense":
+        got = flash.dense_fa(q, k, v, block_q=bq, block_kv=bkv)
+        want, _ = oracle.dense_dpa(q, k, v)
+    elif kind == "causal":
+        got = flash.dense_fa(q, k, v, causal=True, block_q=bq, block_kv=bkv)
+        want, _ = oracle.dense_dpa(q, k, v, causal=True)
+    elif kind == "sliding":
+        w = 2 * int(rng.integers(1, n)) + 1  # odd, may exceed n
+        got = flash.sliding_fa(q, k, v, w, block_q=bq, block_kv=bkv)
+        want, _ = oracle.sliding_dpa(q, k, v, w)
+    else:
+        w = 2 * int(rng.integers(1, max(2, n // 2))) + 1
+        got = flash.circulant_fa(q, k, v, w, block_q=bq, block_kv=bkv)
+        want, _ = oracle.circulant_dpa(q, k, v, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5,
+                               err_msg=f"{kind} n={n} d={d} bq={bq} bkv={bkv}")
