@@ -272,12 +272,16 @@ int32_t pc_evict_one(PagePool* pool) {
 // prefix of `tokens` (always leaving >= 1 token for the tail prefill).
 // Writes the page ids to `out` (capacity `cap`); returns the count and
 // updates LRU order + hit stats.
+// `anchor` scopes the chain root (< 0, distinct per namespace): prefix
+// pages' K/V depend on the LoRA adapter that computed them, so each
+// adapter content-addresses its own chains (base model = -1).
 int32_t pp_pc_match(void* h, const int32_t* tokens, int32_t n,
-                    int32_t page_size, int32_t* out, int32_t cap) {
+                    int32_t page_size, int64_t anchor, int32_t* out,
+                    int32_t cap) {
   auto* pool = static_cast<PagePool*>(h);
   std::lock_guard<std::mutex> lock(pool->mu);
   if (page_size <= 0 || n <= 0) return 0;
-  int64_t parent = -1;
+  int64_t parent = anchor;
   int32_t found = 0;
   int32_t max_full = (n - 1) / page_size;
   PagePool::PcKey key;
@@ -305,11 +309,11 @@ int32_t pp_pc_match(void* h, const int32_t* tokens, int32_t n,
 // indexed page gains one reference. LRU-evicts past `max_entries`.
 void pp_pc_insert(void* h, const int32_t* tokens, int32_t n,
                   const int32_t* table, int32_t npages, int32_t page_size,
-                  int32_t max_entries) {
+                  int32_t max_entries, int64_t anchor) {
   auto* pool = static_cast<PagePool*>(h);
   std::lock_guard<std::mutex> lock(pool->mu);
   if (page_size <= 0) return;
-  int64_t parent = -1;
+  int64_t parent = anchor;
   int32_t full = n / page_size;
   if (full > npages) full = npages;
   PagePool::PcKey key;

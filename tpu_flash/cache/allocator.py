@@ -80,6 +80,7 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
             ctypes.c_int32,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
@@ -91,6 +92,7 @@ def _load_native():
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
+            ctypes.c_int64,
         ]
         lib.pp_pc_evict.restype = ctypes.c_int32
         lib.pp_pc_evict.argtypes = [ctypes.c_void_p, ctypes.c_int32]
@@ -293,23 +295,24 @@ class PageAllocator:
     # PrefixCache facade never touches the handle. All native-only — the
     # pure-Python PrefixCache fallback keeps its own structures.
 
-    def pc_match(self, tokens, page_size: int):
+    def pc_match(self, tokens, page_size: int, anchor: int = -1):
         n = len(tokens)
         toks = (ctypes.c_int32 * max(1, n))(*(list(tokens) or [0]))
         cap = max(1, (n - 1) // page_size) if n else 1
         out = (ctypes.c_int32 * cap)()
-        got = self._lib.pp_pc_match(self._h, toks, n, page_size, out, cap)
+        got = self._lib.pp_pc_match(self._h, toks, n, page_size, anchor,
+                                    out, cap)
         return [int(out[i]) for i in range(max(0, got))]
 
-    def pc_insert(self, tokens, table, page_size: int,
-                  max_entries: int) -> None:
+    def pc_insert(self, tokens, table, page_size: int, max_entries: int,
+                  anchor: int = -1) -> None:
         n = len(tokens)
         npages = min(n // page_size, len(table))
         toks = (ctypes.c_int32 * max(1, n))(*(list(tokens) or [0]))
         tab = (ctypes.c_int32 * max(1, npages))(
             *([int(p) for p in table[:npages]] or [0]))
         self._lib.pp_pc_insert(self._h, toks, n, tab, npages, page_size,
-                               max_entries)
+                               max_entries, anchor)
 
     def pc_evict(self, n: int) -> int:
         return self._lib.pp_pc_evict(self._h, n)

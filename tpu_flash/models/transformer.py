@@ -132,6 +132,18 @@ def quantize_weights(params, dtype: str = "int8"):
     return {**params, "layers": layers}
 
 
+def _proj(x, w, lora_layer, name, adapter_ids):
+    """Projection matmul with an optional per-lane LoRA delta
+    (models/lora.py). No adapter bank or no entry for this projection →
+    plain _mm."""
+    entry = lora_layer.get(name) if lora_layer else None
+    if entry is None:
+        return _mm(x, w)
+    from tpu_flash.models.lora import lora_mm
+
+    return lora_mm(x, w, entry, adapter_ids)
+
+
 def _mm(x, w):
     """x @ w for raw or weight-quantized ({"q": int8, "s": f32}) matrices."""
     if isinstance(w, dict):
@@ -235,13 +247,16 @@ def _mlp(params, h, cfg: ModelConfig, tp_axis=None, collect_aux=None):
 
 
 def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
-           attn_fn=None, tp_axis=None, collect_aux=None):
+           attn_fn=None, tp_axis=None, collect_aux=None, lora_layer=None,
+           adapter_ids=None):
     # Head counts derive from the (possibly TP-sharded) projection widths,
     # not cfg — inside shard_map each shard owns q_heads/tp heads and the
     # row-parallel matmuls are completed by one psum each (Megatron TP).
     b, n, _ = x.shape
     h = rmsnorm(x, params["ln_attn"])
-    qp, kp, vp = _mm(h, params["wq"]), _mm(h, params["wk"]), _mm(h, params["wv"])
+    qp = _proj(h, params["wq"], lora_layer, "wq", adapter_ids)
+    kp = _proj(h, params["wk"], lora_layer, "wk", adapter_ids)
+    vp = _proj(h, params["wv"], lora_layer, "wv", adapter_ids)
     qh = qp.shape[-1] // cfg.head_dim
     kvh = kp.shape[-1] // cfg.head_dim
     q = qp.reshape(b, n, qh, cfg.head_dim)
@@ -252,7 +267,8 @@ def _block(params, x, positions, cfg: ModelConfig, collect_kv=None,
     if collect_kv is not None:
         collect_kv.append((k, v))
     o = _attn_full(q, k, v, cfg, attn_fn=attn_fn).reshape(b, n, qh * cfg.head_dim)
-    x = x + _psum(_mm(o, params["wo"]), tp_axis)
+    x = x + _psum(_proj(o, params["wo"], lora_layer, "wo", adapter_ids),
+                  tp_axis)
     h = rmsnorm(x, params["ln_mlp"])
     x = x + _mlp(params, h, cfg, tp_axis=tp_axis, collect_aux=collect_aux)
     return x
@@ -308,7 +324,8 @@ def prefill(params, tokens, cfg: ModelConfig, tp_axis=None):
 
 
 def prefill_chunk(params, tokens, offset, true_len, caches, slot,
-                  cfg: ModelConfig, pages_bound=None, tp_axis=None):
+                  cfg: ModelConfig, pages_bound=None, tp_axis=None,
+                  lora=None, adapter_ids=None):
     """Process ONE page-aligned chunk of a prompt against the paged cache.
 
     Chunked prefill keeps long prompts from blocking the decode batch: the
@@ -332,10 +349,13 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
     x = params["embed"][tokens]
     radius = (cfg.window - 1) // 2 if cfg.attention == "sliding" else None
     slot_lanes = jnp.full((C,), slot, jnp.int32)
+    loras = lora if lora is not None else [None] * len(params["layers"])
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for layer, le, cache in zip(params["layers"], loras, caches):
         h = rmsnorm(x, layer["ln_attn"])
-        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qp = _proj(h, layer["wq"], le, "wq", adapter_ids)
+        kp = _proj(h, layer["wk"], le, "wk", adapter_ids)
+        vp = _proj(h, layer["wv"], le, "wv", adapter_ids)
         qh = qp.shape[-1] // cfg.head_dim
         kvh = kp.shape[-1] // cfg.head_dim
         q = apply_rope(qp.reshape(b, C, qh, cfg.head_dim), positions,
@@ -376,8 +396,8 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
             slot, jnp.swapaxes(k[0], 0, 1), jnp.swapaxes(v[0], 0, 1),
             offset, valid_n=true_len,
         )
-        x = x + _psum(_mm(o.reshape(b, C, qh * cfg.head_dim), layer["wo"]),
-                      tp_axis)
+        x = x + _psum(_proj(o.reshape(b, C, qh * cfg.head_dim),
+                            layer["wo"], le, "wo", adapter_ids), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
         x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
         new_caches.append(cache)
@@ -433,7 +453,8 @@ def decode_step_seq(params, tokens, positions, caches, slots,
 
 
 def decode_verify(params, tokens, positions, caches, slots,
-                  cfg: ModelConfig, pages_bound=None, tp_axis=None):
+                  cfg: ModelConfig, pages_bound=None, tp_axis=None,
+                  lora=None, adapter_ids=None):
     """Speculative-decoding verification: score K tokens per lane in ONE
     jitted call against the paged caches.
 
@@ -459,10 +480,13 @@ def decode_verify(params, tokens, positions, caches, slots,
     slots_flat = jnp.repeat(slots, K)          # (B·K,)
     vis_flat = (pos + 1).reshape(-1)           # per-lane visible lengths
     pos_flat = pos.reshape(-1)
+    loras = lora if lora is not None else [None] * len(params["layers"])
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for layer, le, cache in zip(params["layers"], loras, caches):
         h = rmsnorm(x, layer["ln_attn"])
-        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qp = _proj(h, layer["wq"], le, "wq", adapter_ids)
+        kp = _proj(h, layer["wk"], le, "wk", adapter_ids)
+        vp = _proj(h, layer["wv"], le, "wv", adapter_ids)
         qh = qp.shape[-1] // cfg.head_dim
         kvh = kp.shape[-1] // cfg.head_dim
         q = apply_rope(qp.reshape(b, K, qh, cfg.head_dim), pos, cfg.rope_theta)
@@ -478,7 +502,7 @@ def decode_verify(params, tokens, positions, caches, slots,
             pages_bound=pages_bound, radius=radius,
         )
         o = o.reshape(b, K, qh * cfg.head_dim)
-        x = x + _psum(_mm(o, layer["wo"]), tp_axis)
+        x = x + _psum(_proj(o, layer["wo"], le, "wo", adapter_ids), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
         x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
         new_caches.append(cache)
@@ -488,7 +512,8 @@ def decode_verify(params, tokens, positions, caches, slots,
 
 
 def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
-                pages_bound=None, tp_axis=None, pipelined=False):
+                pages_bound=None, tp_axis=None, pipelined=False,
+                lora=None, adapter_ids=None):
     """One decode step over the paged caches.
 
     tokens: (B,) int32 new token ids; positions: (B,) their positions;
@@ -510,10 +535,13 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
     # sliding-window models attend only the trailing window during decode,
     # matching the prefill/forward semantics (cfg.attention == "sliding")
     radius = (cfg.window - 1) // 2 if cfg.attention == "sliding" else None
+    loras = lora if lora is not None else [None] * len(params["layers"])
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for layer, le, cache in zip(params["layers"], loras, caches):
         h = rmsnorm(x, layer["ln_attn"])
-        qp, kp, vp = _mm(h, layer["wq"]), _mm(h, layer["wk"]), _mm(h, layer["wv"])
+        qp = _proj(h, layer["wq"], le, "wq", adapter_ids)
+        kp = _proj(h, layer["wk"], le, "wk", adapter_ids)
+        vp = _proj(h, layer["wv"], le, "wv", adapter_ids)
         qh = qp.shape[-1] // cfg.head_dim
         kvh = kp.shape[-1] // cfg.head_dim
         q = qp.reshape(b, 1, qh, cfg.head_dim)
@@ -537,7 +565,8 @@ def decode_step(params, tokens, positions, caches, slots, cfg: ModelConfig,
                 new_kv=(k[:, 0].astype(x.dtype), v[:, 0].astype(x.dtype)),
                 pages_bound=pages_bound, radius=radius,
             )
-        x = x + _psum(_mm(o.reshape(b, 1, qh * cfg.head_dim), layer["wo"]), tp_axis)
+        x = x + _psum(_proj(o.reshape(b, 1, qh * cfg.head_dim),
+                            layer["wo"], le, "wo", adapter_ids), tp_axis)
         hm = rmsnorm(x, layer["ln_mlp"])
         x = x + _mlp(layer, hm, cfg, tp_axis=tp_axis)
         new_caches.append(cache)

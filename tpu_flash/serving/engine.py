@@ -170,6 +170,9 @@ class Request:
     # sequences (checked host-side after each emitted token; composes
     # with speculation — an accepted proposal can complete a stop)
     stop_sequences: tuple = ()
+    # multi-LoRA serving: adapter row in the engine's bank (−1 = base
+    # model); any mix of adapters and base rides one batched decode
+    adapter_id: int = -1
     # internal: set on preemption requeue — the ORIGINAL user prompt
     # length, so a stop sequence straddling the preemption boundary
     # (generated tokens absorbed into the requeued prompt) still fires
@@ -194,6 +197,7 @@ class _Running:
     logprobs: List[float] = dataclasses.field(default_factory=list)
     stop_sequences: tuple = ()
     true_prompt_len: Optional[int] = None
+    adapter_id: int = -1
 
 
 @dataclasses.dataclass
@@ -237,6 +241,7 @@ class Engine:
         mesh=None,
         tp_axis: str = "model",
         draft=None,  # (draft_params, draft ModelConfig) for speculation
+        lora=None,   # adapter bank (models/lora.py init_lora_bank layout)
     ):
         self.params = params
         self.mcfg = model_cfg
@@ -244,6 +249,11 @@ class Engine:
         self.ecfg = engine_cfg
         self.mesh = mesh
         self.tp_axis = tp_axis if mesh is not None else None
+        self.lora = lora
+        if lora is not None and mesh is not None:
+            raise NotImplementedError(
+                "multi-LoRA under tensor parallelism is not composed yet "
+                "(the adapter deltas would need the projections' shardings)")
         if engine_cfg.max_batch > cache_cfg.max_seqs - 1:
             raise ValueError("max_batch must leave one trash slot free")
         # physical page 0 is the trash page; allocator hands out [1, total).
@@ -343,11 +353,12 @@ class Engine:
 
             pipelined = self.ecfg.pipelined_decode
 
-            def run(params, caches, tokens, positions, slots, samp, key):
+            def run(params, lora, caches, tokens, positions, slots, samp,
+                    aids, key):
                 logits, caches = tfm.decode_step(
                     params, tokens, positions, caches, slots, mcfg,
                     pages_bound=pages_bound, tp_axis=axis,
-                    pipelined=pipelined,
+                    pipelined=pipelined, lora=lora, adapter_ids=aids,
                 )
                 # idle lanes append to the trash slot every step; reset its
                 # length so it never walks off its (all-trash-page) table
@@ -369,11 +380,11 @@ class Engine:
                 cs = [cache_pspecs(c, axis) for c in self.caches]
                 run = jax.shard_map(
                     run, mesh=self.mesh,
-                    in_specs=(pp, cs, P(), P(), P(), P(), P()),
+                    in_specs=(pp, None, cs, P(), P(), P(), P(), P(), P()),
                     out_specs=(P(), cs),
                     check_vma=False,
                 )
-            self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(1,))
+            self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(2,))
         return self._decode_fns[pages_bound]
 
     def _pages_bound(self, ahead: int = 0) -> int:
@@ -400,9 +411,10 @@ class Engine:
         if bucket not in self._prefill_fns:
             mcfg, axis = self.mcfg, self.tp_axis
 
-            def run(params, tokens, length, samp, key):
+            def run(params, lora, tokens, length, samp, aid, key):
                 logits_all, kv = _prefill_all_logits(
-                    params, tokens, mcfg, tp_axis=axis
+                    params, tokens, mcfg, tp_axis=axis, lora=lora,
+                    adapter_ids=aid[None],
                 )
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
@@ -421,7 +433,7 @@ class Engine:
                 ]
                 run = jax.shard_map(
                     run, mesh=self.mesh,
-                    in_specs=(pp, P(), P(), P(), P()),
+                    in_specs=(pp, None, P(), P(), P(), P(), P()),
                     out_specs=(P(), kv_spec),
                     check_vma=False,
                 )
@@ -495,10 +507,12 @@ class Engine:
             mcfg, trash = self.mcfg, self._trash_slot
             axis = self.tp_axis
 
-            def run(params, caches, toks, positions, slots, qd, samp, key):
+            def run(params, lora, caches, toks, positions, slots, qd, samp,
+                    aids, key):
                 logits, caches = tfm.decode_verify(
                     params, toks, positions, caches, slots, mcfg,
-                    pages_bound=pages_bound, tp_axis=axis)
+                    pages_bound=pages_bound, tp_axis=axis, lora=lora,
+                    adapter_ids=aids)
                 b, K_, v = logits.shape
                 p_all = _trunc_dist(
                     logits.reshape(b * K_, v),
@@ -532,11 +546,12 @@ class Engine:
                 cs = [cache_pspecs(c, axis) for c in self.caches]
                 run = jax.shard_map(
                     run, mesh=self.mesh,
-                    in_specs=(pp, cs, P(), P(), P(), P(), P(), P()),
+                    in_specs=(pp, None, cs, P(), P(), P(), P(), P(), P(),
+                              P()),
                     out_specs=(P(), P(), P(), P(), cs),
                     check_vma=False,
                 )
-            self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
+            self._prefill_fns[key] = jax.jit(run, donate_argnums=(2,))
         return self._prefill_fns[key]
 
     def _set_draft_lengths_fn(self):
@@ -616,16 +631,19 @@ class Engine:
         toks_np = np.zeros((mb, K), np.int32)
         pos_np = np.zeros(mb, np.int32)
         slots_np = np.full(mb, self._trash_slot, np.int32)
+        aids_np = np.full(mb, -1, np.int32)
         for lane, s in enumerate(lanes):
             r = self.running[s]
             toks_np[lane, 0] = r.next_token
             toks_np[lane, 1:] = proposals[s][:K - 1]
             pos_np[lane] = len(r.tokens) - 1
             slots_np[lane] = s
+            aids_np[lane] = r.adapter_id
         self._key, sub = jax.random.split(self._key)
         final, m, lp_prop, lp_final, self.caches = self._verify_fn(bound, K)(
-            self.params, self.caches, jnp.asarray(toks_np),
-            jnp.asarray(pos_np), jnp.asarray(slots_np), qd, samp, sub)
+            self.params, self.lora, self.caches, jnp.asarray(toks_np),
+            jnp.asarray(pos_np), jnp.asarray(slots_np), qd, samp,
+            jnp.asarray(aids_np), sub)
         final, m = np.asarray(final), np.asarray(m)
         lp_prop, lp_final = np.asarray(lp_prop), np.asarray(lp_final)
 
@@ -851,7 +869,10 @@ class Engine:
             cs = self.ecfg.chunk_size
             slot = self._free_slots[0]
 
-            shared = (self._pcache.match(req.prompt, ps)
+            # adapter-scoped prefix namespace: adapted K/V never shares
+            # with the base model or other adapters (anchor -1 = base)
+            shared = (self._pcache.match(req.prompt, ps,
+                                         anchor=-2 - req.adapter_id)
                       if self._pcache is not None else [])
             if shared:
                 # prefix hit: table = shared pages (copy-on-write) + fresh
@@ -909,10 +930,12 @@ class Engine:
         if key not in self._prefill_fns:
             mcfg, axis = self.mcfg, self.tp_axis
 
-            def run(params, caches, tokens, offset, true_len, slot, samp, k):
+            def run(params, lora, caches, tokens, offset, true_len, slot,
+                    samp, aid, k):
                 logits, _, caches = tfm.prefill_chunk(
                     params, tokens, offset, true_len, caches, slot, mcfg,
-                    pages_bound=pages_bound, tp_axis=axis,
+                    pages_bound=pages_bound, tp_axis=axis, lora=lora,
+                    adapter_ids=aid[None],
                 )
                 if not final:
                     return jnp.full((2,), -1.0, jnp.float32), caches
@@ -931,11 +954,12 @@ class Engine:
                 cs_specs = [cache_pspecs(c, axis) for c in self.caches]
                 run = jax.shard_map(
                     run, mesh=self.mesh,
-                    in_specs=(pp, cs_specs, P(), P(), P(), P(), P(), P()),
+                    in_specs=(pp, None, cs_specs, P(), P(), P(), P(), P(),
+                              P()),
                     out_specs=(P(), cs_specs),
                     check_vma=False,
                 )
-            self._prefill_fns[key] = jax.jit(run, donate_argnums=(1,))
+            self._prefill_fns[key] = jax.jit(run, donate_argnums=(2,))
         return self._prefill_fns[key]
 
     def _advance_prefill(self) -> None:
@@ -963,17 +987,18 @@ class Engine:
         else:
             sub = self._key  # unused by the non-final variant
         tok_lp, self.caches = self._chunk_fn(cs, pb, final)(
-            self.params, self.caches, jnp.asarray(toks), jnp.int32(done),
-            jnp.int32(true_n), jnp.int32(slot),
+            self.params, self.lora, self.caches, jnp.asarray(toks),
+            jnp.int32(done), jnp.int32(true_n), jnp.int32(slot),
             jnp.asarray([req.temperature, req.top_k, req.top_p],
-                        jnp.float32), sub,
+                        jnp.float32), jnp.int32(req.adapter_id), sub,
         )
         st["done"] = done + true_n
         if st["done"] >= len(req.prompt):
             del self.prefilling[slot]
             if self._pcache is not None:
                 self._pcache.insert(
-                    req.prompt, self._alloc.table(slot), self.ccfg.page_size
+                    req.prompt, self._alloc.table(slot),
+                    self.ccfg.page_size, anchor=-2 - req.adapter_id,
                 )
             if self._draft is not None:
                 self._draft_prefill(req.prompt, slot)
@@ -991,6 +1016,7 @@ class Engine:
                 eos_id=req.eos_id,
                 stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
                 true_prompt_len=req.true_prompt_len,
+                adapter_id=req.adapter_id,
                 alloc_tokens=st["pages"] * self.ccfg.page_size,
                 next_token=int(tok_lp[0]),
                 logprobs=[float(tok_lp[1])],
@@ -1027,9 +1053,9 @@ class Engine:
         toks[0, :n] = req.prompt
         self._key, sub = jax.random.split(self._key)
         tok_lp, kv = self._prefill_fn(bucket)(
-            self.params, jnp.asarray(toks), jnp.int32(n),
+            self.params, self.lora, jnp.asarray(toks), jnp.int32(n),
             jnp.asarray([req.temperature, req.top_k, req.top_p],
-                        jnp.float32), sub,
+                        jnp.float32), jnp.int32(req.adapter_id), sub,
         )
         # one donated jit writes every layer's K/V (padded tail is
         # page-covered and masked by length).
@@ -1038,7 +1064,8 @@ class Engine:
         )
         if self._pcache is not None:
             self._pcache.insert(
-                req.prompt, self._alloc.table(slot), self.ccfg.page_size
+                req.prompt, self._alloc.table(slot), self.ccfg.page_size,
+                anchor=-2 - req.adapter_id,
             )
         if self._draft is not None:
             self._draft_prefill(req.prompt, slot)
@@ -1057,6 +1084,7 @@ class Engine:
             eos_id=req.eos_id,
             stop_sequences=tuple(tuple(x) for x in req.stop_sequences),
             true_prompt_len=req.true_prompt_len,
+            adapter_id=req.adapter_id,
             alloc_tokens=pages * self.ccfg.page_size,
             next_token=tok,
             logprobs=[float(tok_lp[1])],
@@ -1131,6 +1159,7 @@ class Engine:
                 top_p=r.top_p,
                 eos_id=r.eos_id,
                 stop_sequences=r.stop_sequences,
+                adapter_id=r.adapter_id,
                 true_prompt_len=(r.true_prompt_len
                                  if r.true_prompt_len is not None
                                  else r.prompt_len),
@@ -1162,6 +1191,7 @@ class Engine:
         pos_np = np.zeros(mb, np.int32)
         samp_np = np.zeros((mb, 3), np.float32)
         samp_np[:, 2] = 1.0  # idle lanes: top_p disabled
+        aids_np = np.full(mb, -1, np.int32)
         lanes = []
         for lane, slot in enumerate(sorted(self.running)):
             if lane >= mb:
@@ -1171,15 +1201,18 @@ class Engine:
             toks_np[lane] = r.next_token
             pos_np[lane] = len(r.tokens) - 1  # position of the new token
             samp_np[lane] = (r.temperature, r.top_k, r.top_p)
+            aids_np[lane] = r.adapter_id
             lanes.append(slot)
         self._key, sub = jax.random.split(self._key)
         packed, self.caches = self._decode_fn(self._pages_bound())(
             self.params,
+            self.lora,
             self.caches,
             jnp.asarray(toks_np),
             jnp.asarray(pos_np),
             jnp.asarray(slots_np),
             jnp.asarray(samp_np),
+            jnp.asarray(aids_np),
             sub,
         )
         packed = np.asarray(packed)
@@ -1229,14 +1262,18 @@ class Engine:
             self._free_slots.append(slot)
 
 
-def _prefill_all_logits(params, tokens, cfg, tp_axis=None):
+def _prefill_all_logits(params, tokens, cfg, tp_axis=None, lora=None,
+                        adapter_ids=None):
     """Prefill returning logits for ALL positions (engine picks length-1)."""
     b, n = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     x = params["embed"][tokens]
+    loras = lora if lora is not None else [None] * len(params["layers"])
     kv = []
-    for layer in params["layers"]:
-        x = tfm._block(layer, x, positions, cfg, collect_kv=kv, tp_axis=tp_axis)
+    for layer, le in zip(params["layers"], loras):
+        x = tfm._block(layer, x, positions, cfg, collect_kv=kv,
+                       tp_axis=tp_axis, lora_layer=le,
+                       adapter_ids=adapter_ids)
     x = tfm.rmsnorm(x, params["ln_f"])
     logits = (x @ params["embed"].T).astype(jnp.float32)
     return logits, kv

@@ -75,17 +75,21 @@ class PrefixCache:
             return self._alloc.pc_len()
         return len(self._map)
 
-    def match(self, prompt: Sequence[int], page_size: int) -> List[int]:
+    def match(self, prompt: Sequence[int], page_size: int,
+              anchor: int = -1) -> List[int]:
         """Longest cached page chain covering a page-aligned prefix.
 
         Leaves at least one prompt token uncovered — the engine must still
         run a (tail) prefill to produce next-token logits. Returns the
         allocator page ids, oldest first; updates LRU order and stats.
+        ``anchor`` (< 0) scopes the chain root: cached K/V depend on the
+        LoRA adapter that computed them, so each adapter gets its own
+        namespace (base model = -1).
         """
         if self._native:
-            return self._alloc.pc_match(prompt, page_size)
+            return self._alloc.pc_match(prompt, page_size, anchor)
         pages: List[int] = []
-        parent = -1
+        parent = anchor
         max_full = (len(prompt) - 1) // page_size
         for i in range(max_full):
             key = (parent, tuple(prompt[i * page_size:(i + 1) * page_size]))
@@ -102,7 +106,8 @@ class PrefixCache:
             self.misses += 1
         return pages
 
-    def insert(self, prompt: Sequence[int], table, page_size: int) -> None:
+    def insert(self, prompt: Sequence[int], table, page_size: int,
+               anchor: int = -1) -> None:
         """Register a prefilled slot's full prompt pages.
 
         ``table``: the slot's allocator page ids in order (may begin with
@@ -111,9 +116,10 @@ class PrefixCache:
         page gains a cache reference so it survives its sequence.
         """
         if self._native:
-            self._alloc.pc_insert(prompt, table, page_size, self._max)
+            self._alloc.pc_insert(prompt, table, page_size, self._max,
+                                  anchor)
             return
-        parent = -1
+        parent = anchor
         for i in range(len(prompt) // page_size):
             key = (parent, tuple(prompt[i * page_size:(i + 1) * page_size]))
             cur = self._map.get(key)
