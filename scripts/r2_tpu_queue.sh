@@ -6,6 +6,7 @@
 # block the rest (the tunnel can abort sporadically — rerun the step).
 set -x
 cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
 
 # 0. verify drive: MoE model + dense oracle gate on the real chip
 timeout 590 python - <<'EOF'

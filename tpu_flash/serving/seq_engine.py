@@ -299,7 +299,13 @@ class SeqShardedEngine(Engine):
             mcfg, axis = self.mcfg, self.seq_axis
             trash = self._trash_slot
 
-            def run(params, caches, tokens, positions, slots, samp, key):
+            def run(params, lora, caches, tokens, positions, slots, samp,
+                    aids, key):
+                # lora/aids ride the base-class call signature; this engine
+                # is constructed without an adapter bank (multi-LoRA is not
+                # composed with sequence sharding), so lora is None and every
+                # lane's aid is -1 — both are ignored here.
+                del lora, aids
                 locals_ = [_local(c) for c in caches]
                 logits, locals_ = tfm.decode_step_seq(
                     params, tokens, positions, locals_, slots, mcfg,
@@ -319,9 +325,9 @@ class SeqShardedEngine(Engine):
             cs = [_cache_specs(c, axis) for c in self.caches]
             run = jax.shard_map(
                 run, mesh=self.mesh,
-                in_specs=(P(), cs, P(), P(), P(), P(), P()),
+                in_specs=(P(), None, cs, P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), cs),
                 check_vma=False,
             )
-            self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(1,))
+            self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(2,))
         return self._decode_fns[pages_bound]
