@@ -101,8 +101,9 @@ def main() -> None:
         measure,
         time_fn,
     )
-    from tpu_flash.ops.oracle import dense_dpa
+    from tpu_flash.ops.oracle import blockwise_dpa
     from tpu_flash.quant.flash_q import quantized_dense_fa
+    from tpu_flash.quant import qarray
     from tpu_flash.ops.flash import dense_fa
 
     b, h, n, d = args.batch, args.heads, args.seqlen, args.head_dim
@@ -152,16 +153,12 @@ def main() -> None:
             fn = e2e_fn
             bench_args = (q, k, v)
 
-        # fp8/int8 quantization error vs the unquantized f32 oracle; the
-        # tight ≤1e-2 matched-bitwidth contract is enforced in tests/.
-        tol = 0.35 if dt == "float8_e5m2" else 0.25
+        # matched-bitwidth contract (BASELINE.md): the kernel must sit
+        # within 1e-2 of the f32 oracle run on inputs quantized at the SAME
+        # granularity — kernel numerics, not quantization loss, is what the
+        # gate checks. e5m2 carries one fewer mantissa bit.
+        tol = 2.5e-2 if dt == "float8_e5m2" else 1e-2
         metric = f"dense_fa {args.dtype} TFLOP/s, seqlen {n}, 1 chip"
-
-    def oracle(q, k, v):
-        o, _ = dense_dpa(
-            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
-        )
-        return o
 
     flops = attention_flops(b, h, n, n, d)
     nbytes = attention_bytes(
@@ -170,26 +167,33 @@ def main() -> None:
         kv_bytes=1 if args.dtype != "bf16" else 2,
     )
 
-    # Correctness gate on a slice small enough for the O(N²) oracle
-    # (the full-size oracle would need b·h·n² f32 ≈ 8.6 GB of HBM).
-    ng = min(n, 2048)
-    qg, kg, vg = q[:1, :2, :ng], k[:1, :2, :ng], v[:1, :2, :ng]
-    if args.dtype != "bf16" and args.mode == "serving":
-        from tpu_flash.quant.serving_attn import (
-            quantize_kv_cache as _qkv,
-            serving_flash_attention as _sfa,
-        )
-
-        kqg, vqg = jax.jit(functools.partial(
-            _qkv, kv_dtype=args.dtype, kv_scale=kv_scale))(kg, vg)
-        got = jax.block_until_ready(jax.jit(functools.partial(
-            _sfa, q_dtype=args.dtype))(qg, kqg, vqg))
+    # Correctness gate at the FULL bench shape via the blockwise
+    # O(N)-memory f32 oracle (the dense one would need b·h·n² ≈ 8.6 GB).
+    sm_scale = 1.0 / float(np.sqrt(d))
+    if args.dtype != "bf16":
+        if args.mode == "serving":
+            # matched inputs = dequantized ACTUAL cache contents
+            kf, vf = qarray.dequantize(kq), qarray.dequantize(vq)
+        else:
+            kf = qarray.dequantize(qarray.quantize(
+                k.astype(jnp.float32), dt,
+                axis=-1 if kv_scale == "token" else (-2, -1)))
+            vf = qarray.dequantize(qarray.quantize(
+                v.astype(jnp.float32), dt, axis=-2))
+        qf = qarray.dequantize(qarray.quantize(
+            q.astype(jnp.float32) * sm_scale, dt, axis=-1))
+        o_scale = 1.0
     else:
-        got = jax.block_until_ready(fn(qg, kg, vg))
-    want = jax.block_until_ready(oracle(qg, kg, vg))
-    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+        qf, kf, vf = q, k, v
+        o_scale = None
+    got = jax.block_until_ready(fn(*bench_args))
+    want, _ = jax.block_until_ready(jax.jit(functools.partial(
+        blockwise_dpa, scale=o_scale, chunk=1024))(qf, kf, vf))
+    err = float(jnp.max(jnp.abs(
+        got.astype(jnp.float32) - want.astype(jnp.float32))))
     if not err <= tol:
         raise AssertionError(f"bench gate failed: max_abs_err={err} > {tol}")
+    del qf, kf, vf, want
 
     res = measure(
         metric, fn, bench_args,

@@ -167,3 +167,67 @@ def test_sliding_dpa_clamps_edges(rng):
     mask = jnp.abs(i[:, None] - i[None, :]) <= 2
     ref, _ = oracle._core(q, k, v, 0.5, mask=mask[None, None])
     np.testing.assert_allclose(o, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# blockwise (O(N)-memory) oracle — must agree with the materialized oracles
+# bit-for-bit up to f32 merge rounding, on every mask family, including
+# ragged n (chunk does not divide n) and chunk > n.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("n,chunk", [(96, 32), (100, 32), (48, 64)])
+def test_blockwise_dense_matches_dense(rng, n, chunk):
+    b, h, d = 2, 3, 16
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    o, lse = oracle.blockwise_dpa(q, k, v, chunk=chunk)
+    ref, ref_lse = oracle.dense_dpa(q, k, v)
+    np.testing.assert_allclose(o, ref, atol=1e-5)
+    np.testing.assert_allclose(lse, ref_lse, atol=1e-5)
+
+
+def test_blockwise_causal(rng):
+    b, h, n, d = 1, 2, 70, 8
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    o, lse = oracle.blockwise_dpa(q, k, v, causal=True, chunk=32)
+    ref, ref_lse = oracle.dense_dpa(q, k, v, causal=True)
+    np.testing.assert_allclose(o, ref, atol=1e-5)
+    np.testing.assert_allclose(lse, ref_lse, atol=1e-5)
+
+
+def test_blockwise_sliding(rng):
+    b, h, n, d, w = 1, 2, 90, 8, 11
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    o, lse = oracle.blockwise_dpa(q, k, v, window_size=w, chunk=32)
+    ref, ref_lse = oracle.sliding_dpa(q, k, v, w)
+    np.testing.assert_allclose(o, ref, atol=1e-5)
+    np.testing.assert_allclose(lse, ref_lse, atol=1e-5)
+
+
+def test_blockwise_circulant(rng):
+    b, h, n, d, w = 1, 2, 64, 8, 9
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    o, lse = oracle.blockwise_dpa(q, k, v, window_size=w, wrap=True, chunk=16)
+    ref, ref_lse = oracle.circulant_dpa(q, k, v, w)
+    np.testing.assert_allclose(o, ref, atol=1e-5)
+    np.testing.assert_allclose(lse, ref_lse, atol=1e-5)
+
+
+def test_blockwise_block_diagonal(rng):
+    b, h, n, d, sec = 1, 2, 96, 8, 24
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    o, _ = oracle.blockwise_dpa(q, k, v, block_size=sec, chunk=32)
+    tr = lambda x: x.transpose(0, 2, 1, 3)
+    ref = tr(oracle.block_dpa(tr(q), tr(k), tr(v), sec))
+    np.testing.assert_allclose(o, ref, atol=1e-5)
+
+
+def test_blockwise_fully_masked_rows(rng):
+    """Causal + cross attention where early queries see no keys: the
+    blockwise oracle must emit o=0, lse=-inf like dense_dpa does."""
+    b, h, n, d = 1, 1, 8, 4
+    q, k, v = (_rand(rng, b, h, n, d) for _ in range(3))
+    # block_size=4 with chunk=2 exercises masked-everything chunks too.
+    o, lse = oracle.blockwise_dpa(q, k, v, block_size=4, chunk=2)
+    assert bool(jnp.all(jnp.isfinite(lse)))
+    o2, lse2 = oracle.blockwise_dpa(q, k, v, causal=True, chunk=4)
+    ref, ref_lse = oracle.dense_dpa(q, k, v, causal=True)
+    np.testing.assert_allclose(o2, ref, atol=1e-5)

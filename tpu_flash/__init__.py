@@ -17,6 +17,7 @@ from tpu_flash.ops.oracle import (
     dense_dpa,
     windowed_dpa,
     block_dpa,
+    blockwise_dpa,
     circulant_dpa,
     sliding_dpa,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "dense_dpa",
     "windowed_dpa",
     "block_dpa",
+    "blockwise_dpa",
     "circulant_dpa",
     "sliding_dpa",
     "dense_fa",

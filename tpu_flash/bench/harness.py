@@ -208,15 +208,29 @@ def measure(
     flops: int,
     bytes_moved: int,
     oracle: Optional[Callable] = None,
+    err_fn: Optional[Callable] = None,
     tol: Optional[float] = None,
     iters: int = 10,
     warmup: int = 2,
     config: Optional[dict] = None,
 ) -> BenchResult:
     """Gate on the oracle, then time. Raises if the gate fails — a benchmark
-    of a wrong kernel is worse than no benchmark (bench/compare.jl:21)."""
+    of a wrong kernel is worse than no benchmark (bench/compare.jl:21).
+
+    ``err_fn(got) -> float`` supersedes ``oracle`` when given: it receives
+    the kernel output and returns the max-abs error itself — the hook the
+    sweep uses to gate 16k–32k rows against the blockwise O(N)-memory
+    oracle on query-row bands.
+    """
     err = float("nan")
-    if oracle is not None:
+    if err_fn is not None:
+        got = jax.block_until_ready(fn(*args))
+        err = float(err_fn(got))
+        if tol is not None and not (err <= tol):
+            raise AssertionError(
+                f"bench gate failed for {name}: max_abs_err={err} > tol={tol}"
+            )
+    elif oracle is not None:
         got = jax.block_until_ready(fn(*args))
         want = jax.block_until_ready(oracle(*args))
         got = got[0] if isinstance(got, tuple) else got

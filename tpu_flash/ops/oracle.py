@@ -169,6 +169,111 @@ def block_dpa(q, k, v, block_size, *, scale=None):
     return windowed_dpa(q, k, v, block_size, stride=block_size, pad=0, scale=scale)
 
 
+def blockwise_dpa(
+    q,
+    k,
+    v,
+    *,
+    scale=None,
+    causal: bool = False,
+    window_size: Optional[int] = None,
+    wrap: bool = False,
+    block_size: Optional[int] = None,
+    chunk: int = 2048,
+    q_start: int = 0,
+):
+    """Exact f32 oracle with O(n·chunk) memory — usable at bench shapes.
+
+    Mathematically identical to ``dense_dpa``/``sliding_dpa``/
+    ``circulant_dpa``/``block_dpa`` (as selected by the mask arguments) but
+    never materializes the (n, n) score matrix: it scans KV in chunks with
+    the associative online-softmax merge — the reference's (l, m) algebra
+    (src/dense.jl:82-89) run in f32/HIGHEST, so it serves as ground truth at
+    n = 8k–32k where the dense oracle exceeds HBM (VERDICT r2 item 6: 48
+    bench rows carried max_abs_err = NaN because only the O(N²) oracle
+    existed).
+
+    Masks (mutually exclusive beyond ``causal``):
+      * ``window_size`` (odd): sliding band |i−j| ≤ (W−1)/2, clamped —
+        or circulant wraparound when ``wrap=True``.
+      * ``block_size``: disjoint block-diagonal (i//B == j//B).
+
+    ``q_start``: global index of q's first row. Query rows are independent
+    in attention, so passing a row band ``q[:, :, a:b]`` with ``q_start=a``
+    yields exactly rows a..b of the full result — that is how bench gates
+    check 16k–32k shapes without an O(N²) pass per row.
+
+    Returns ``(o, lse)`` with o in q's dtype.
+    """
+    if window_size is not None and block_size is not None:
+        raise ValueError("window_size and block_size are mutually exclusive")
+    if window_size is not None and window_size % 2 != 1:
+        raise ValueError("sliding/circulant window must be odd")
+    b, h, n, d = q.shape
+    nk = k.shape[-2]
+    dv = v.shape[-1]
+    scale = _default_scale(d, scale)
+    chunk = min(chunk, nk)
+    if nk % chunk != 0:
+        # pad kv to a chunk multiple; padding is masked out below.
+        pad = chunk - nk % chunk
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nck = k.shape[-2] // chunk
+
+    q32 = q.astype(jnp.float32)
+    kc = k.astype(jnp.float32).reshape(b, h, nck, chunk, k.shape[-1])
+    vc = v.astype(jnp.float32).reshape(b, h, nck, chunk, dv)
+    kc = jnp.moveaxis(kc, 2, 0)  # (nck, b, h, chunk, d)
+    vc = jnp.moveaxis(vc, 2, 0)
+    qi = q_start + jnp.arange(n)[:, None]
+    radius = (window_size - 1) // 2 if window_size is not None else 0
+
+    def body(carry, xs):
+        m, l, acc = carry
+        kj, vj, c = xs
+        j = c * chunk + jnp.arange(chunk)[None, :]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q32, kj, precision=_HI) * scale
+        live = j < nk
+        if causal:
+            live &= j <= qi
+        if window_size is not None:
+            if wrap:
+                off = (qi - j) % nk
+                live &= (off <= radius) | (off >= nk - radius)
+            else:
+                live &= jnp.abs(qi - j) <= radius
+        if block_size is not None:
+            live &= (qi // block_size) == (j // block_size)
+        s = jnp.where(live[None, None], s, _NEG_INF)
+        mj = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, mj)
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe)
+        alpha = jnp.exp(jnp.where(jnp.isfinite(m), m - m_safe, _NEG_INF))
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = alpha * acc + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vj, precision=_HI)
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((b, h, n, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((b, h, n, 1), jnp.float32),
+        jnp.zeros((b, h, n, dv), jnp.float32),
+    )
+    # checkpoint keeps grad-through-the-oracle at O(n·chunk) residuals too
+    # (otherwise scan saves every chunk's (n, chunk) score tile = O(N²)),
+    # so backward bench rows can gate against ∇blockwise_dpa at 8k–16k.
+    (m, l, acc), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (kc, vc, jnp.arange(nck)))
+    o = (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    o = jnp.where(jnp.isfinite(m), o, 0)
+    lse = jnp.where(
+        jnp.isfinite(m), m + jnp.log(jnp.maximum(l, 1e-30)), _NEG_INF
+    ).squeeze(-1)
+    return o, lse
+
+
 def circulant_dpa(q, k, v, window_size: int, *, scale=None, return_p=False):
     """Circulant-band oracle: query ``i`` attends keys ``(i+o) mod n``,
     ``o ∈ [-(W-1)/2, (W-1)/2]`` (reference src/naive/circulant.jl:8-36).
