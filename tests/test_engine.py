@@ -516,3 +516,74 @@ def test_stream_across_preemption(rng):
     toks = [item[1] for item in eng.stream()
             if not isinstance(item, FinishedRequest)]
     assert toks == plain
+
+
+# ---------------------------------------------------------------------------
+# multi-token on-device decode (EngineConfig.decode_steps > 1)
+# ---------------------------------------------------------------------------
+def test_decode_steps_matches_plain(params):
+    """decode_steps=4 must produce bit-identical token/logprob streams to
+    plain one-call-per-token decoding: the scan body replays the exact
+    step (same key-split order, same sampling)."""
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(1, 255, 9)), list(rng.integers(1, 255, 13))]
+
+    def run(steps):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, decode_steps=steps))
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p, max_new_tokens=11,
+                               temperature=0.7 if i else 0.0))
+        return {r.rid: (r.tokens, r.logprobs) for r in eng.run()}
+
+    plain, multi = run(1), run(4)
+    for rid in plain:
+        assert multi[rid][0] == plain[rid][0]
+        np.testing.assert_allclose(multi[rid][1], plain[rid][1], atol=1e-6)
+
+
+def test_decode_steps_early_finish_rollback(params):
+    """A lane hitting eos/max_new_tokens mid-scan discards the overshoot
+    tokens, and the freed slot serves a follow-up request correctly."""
+    rng = np.random.default_rng(11)
+    p1 = list(rng.integers(1, 255, 10))
+    p2 = list(rng.integers(1, 255, 8))
+
+    def run(steps):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, decode_steps=steps))
+        # max_new_tokens=3 and 10: the short lane finishes mid-scan at K=4
+        eng.submit(Request(rid=0, prompt=p1, max_new_tokens=3))
+        eng.submit(Request(rid=1, prompt=p2, max_new_tokens=10))
+        done = {r.rid: r for r in eng.run()}
+        # the freed slot must serve a NEW request with clean state
+        eng.submit(Request(rid=2, prompt=p1, max_new_tokens=5))
+        done.update({r.rid: r for r in eng.run()})
+        return done
+
+    plain, multi = run(1), run(4)
+    for rid in plain:
+        assert multi[rid].tokens == plain[rid].tokens, rid
+        assert multi[rid].reason == plain[rid].reason, rid
+        assert len(multi[rid].new_tokens) == len(plain[rid].new_tokens)
+
+
+def test_decode_steps_stop_sequence(params):
+    """Stop sequences commit token-by-token on the host, so a stop hit
+    mid-scan truncates exactly as in plain decoding."""
+    rng = np.random.default_rng(13)
+    prompt = list(rng.integers(1, 255, 9))
+
+    def run(steps, stop):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, decode_steps=steps))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=12,
+                           stop_sequences=stop))
+        return eng.run()[0]
+
+    base = run(1, ())
+    # pick a stop = the 3rd generated token of the plain stream
+    stop = ((base.new_tokens[2],),)
+    plain, multi = run(1, stop), run(8, stop)
+    assert multi.tokens == plain.tokens
+    assert multi.reason == plain.reason == "stop"

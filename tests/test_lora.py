@@ -149,3 +149,25 @@ def test_speculation_with_adapter_exact(rng, params):
                        lora=bank, speculate_k=3, draft=(params, _MCFG))
     assert spec[0] == plain[0]
     assert eng.spec_stats()["proposed"] > 0
+
+
+def test_engine_without_bank_rejects_adapter_requests():
+    """ADVICE r2: an adapter-bearing Request on an engine built without a
+    LoRA bank must fail loudly at submit(), not silently decode base."""
+    import pytest as _pytest
+
+    from tpu_flash.cache.paged_cache import CacheConfig
+    from tpu_flash.models import transformer as tfm
+    from tpu_flash.serving.engine import Engine, EngineConfig, Request
+
+    mcfg = tfm.ModelConfig(
+        vocab_size=64, dim=64, num_layers=1, num_q_heads=2, num_kv_heads=2,
+        head_dim=32, mlp_hidden=128, block_q=64, block_kv=64,
+    )
+    ccfg = CacheConfig(num_kv_heads=2, head_dim=32, page_size=16,
+                       total_pages=32, max_seqs=4, max_pages_per_seq=4)
+    eng = Engine(tfm.init_params(jax.random.PRNGKey(0), mcfg), mcfg, ccfg,
+                 EngineConfig(max_batch=2))
+    with _pytest.raises(ValueError, match="LoRA bank"):
+        eng.submit(Request(rid=0, prompt=[1, 2, 3], max_new_tokens=2,
+                           adapter_id=0))

@@ -224,6 +224,12 @@ class EngineConfig:
     prefix_cache_entries: int = 4096
     metrics_path: Optional[str] = None  # per-step JSONL metrics stream
     speculate_k: int = 0  # speculative decoding: tokens verified per round
+    decode_steps: int = 1  # >1: scan K decode iterations in ONE device call
+    # (sampling + append on-device), so the host pays one dispatch per K
+    # tokens — decode is step-overhead-bound through the tunnel (~30 ms
+    # round trip vs sub-ms device steps). Lanes that finish mid-scan are
+    # rolled back host-side exactly like speculative rejections. Ignored
+    # when a draft model is attached (speculation already amortizes).
     # (pending + k−1 draft proposals in ONE target call). Needs a draft
     # model (Engine(draft=...)). Greedy streams are byte-identical to
     # plain decoding; temperature streams follow the same truncated-softmax
@@ -386,6 +392,76 @@ class Engine:
                 )
             self._decode_fns[pages_bound] = jax.jit(run, donate_argnums=(2,))
         return self._decode_fns[pages_bound]
+
+    def _decode_multi_fn(self, pages_bound: int, K: int):
+        """Jitted K-step decode scan: one host dispatch yields K tokens per
+        lane (VERDICT r2 item 5 — the engine was host-loop-bound at one
+        device call per token).
+
+        The scan body is exactly :func:`_decode_fn`'s step — same
+        decode_step, same trash-slot reset, same ``key, sub = split(key)``
+        order — so a K-step call produces bit-identical streams to K plain
+        steps (asserted in tests/test_engine.py). Returns
+        ``(packed (B, K, 2), new_key, caches)``.
+        """
+        fkey = ("multi", pages_bound, K)
+        if fkey not in self._decode_fns:
+            mcfg, axis = self.mcfg, self.tp_axis
+            trash = self._trash_slot
+            pipelined = self.ecfg.pipelined_decode
+
+            def run(params, lora, caches, tokens, positions, slots, samp,
+                    aids, key):
+                def body(carry, _):
+                    tokens, positions, key, caches = carry
+                    key, sub = jax.random.split(key)
+                    logits, caches = tfm.decode_step(
+                        params, tokens, positions, caches, slots, mcfg,
+                        pages_bound=pages_bound, tp_axis=axis,
+                        pipelined=pipelined, lora=lora, adapter_ids=aids,
+                    )
+                    caches = [
+                        dataclasses.replace(
+                            c, lengths=c.lengths.at[trash].set(0)
+                        )
+                        for c in caches
+                    ]
+                    packed = _sample_packed(logits, samp, sub)
+                    ntok = packed[:, 0].astype(jnp.int32)
+                    return (ntok, positions + 1, key, caches), packed
+
+                (_, _, key, caches), packs = jax.lax.scan(
+                    body, (tokens, positions, key, caches), None, length=K)
+                return jnp.moveaxis(packs, 0, 1), key, caches
+
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                from tpu_flash.parallel.shardings import (
+                    cache_pspecs, param_pspecs,
+                )
+
+                pp = param_pspecs(self.params, axis)
+                cs = [cache_pspecs(c, axis) for c in self.caches]
+                run = jax.shard_map(
+                    run, mesh=self.mesh,
+                    in_specs=(pp, None, cs, P(), P(), P(), P(), P(), P()),
+                    out_specs=(P(), P(), cs),
+                    check_vma=False,
+                )
+            self._decode_fns[fkey] = jax.jit(run, donate_argnums=(2,))
+        return self._decode_fns[fkey]
+
+    def _set_lengths_fn(self):
+        if "setlen" not in self._write_fns:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(caches, slots, vals):
+                return [dataclasses.replace(
+                    c, lengths=c.lengths.at[slots].set(vals))
+                    for c in caches]
+
+            self._write_fns["setlen"] = run
+        return self._write_fns["setlen"]
 
     def _pages_bound(self, ahead: int = 0) -> int:
         ps = self.ccfg.page_size
@@ -689,6 +765,14 @@ class Engine:
             raise ValueError(
                 f"prompt of {len(req.prompt)} tokens exceeds per-sequence "
                 f"cache capacity {cap}"
+            )
+        if req.adapter_id != -1 and self.lora is None:
+            # Silently decoding an adapter request with the base model is
+            # wrong output, not degraded service — reject at the door.
+            # (Covers SeqShardedEngine too, which never carries a bank.)
+            raise ValueError(
+                f"request {req.rid} names adapter {req.adapter_id} but this "
+                "engine was built without a LoRA bank"
             )
         self.waiting.append(req)
 
@@ -1185,6 +1269,22 @@ class Engine:
                    for s in sorted(self.running)[:self.ecfg.max_batch]):
                 self._decode_speculative(K)
                 return
+        if self.ecfg.decode_steps > 1:
+            # bucket K to powers of two (≤ log2 variants compile); shrink
+            # toward the tail so a batch one token from done doesn't pay a
+            # full K-step scan of discards.
+            remaining = max(
+                r.max_new_tokens - (len(r.tokens) - r.prompt_len)
+                for r in self.running.values())
+            K = 1
+            while K < min(self.ecfg.decode_steps, remaining):
+                K *= 2
+            K = min(K, self.ecfg.decode_steps)
+            if K > 1 and all(
+                    self._ensure_capacity(s, ahead=K) == "ok"
+                    for s in sorted(self.running)[:self.ecfg.max_batch]):
+                self._decode_multi(K)
+                return
         mb = self.ecfg.max_batch
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
@@ -1224,6 +1324,70 @@ class Engine:
             r.logprobs.append(float(packed[lane, 1]))
             self._tokens_out += 1
             self._maybe_finish(slot)
+
+    def _decode_multi(self, K: int) -> None:
+        """One device dispatch advancing every running lane by K tokens.
+
+        All K tokens' K/V append on-device (capacity pre-covered via
+        ``_ensure_capacity(ahead=K)``); the host then commits tokens in
+        order through the normal finish logic and rolls each slot's cache
+        length back to the committed count — tokens generated past an
+        eos/stop/length finish are discarded exactly like speculative
+        rejections (their K/V stays as length-masked garbage).
+        """
+        mb = self.ecfg.max_batch
+        slots_np = np.full(mb, self._trash_slot, np.int32)
+        toks_np = np.zeros(mb, np.int32)
+        pos_np = np.zeros(mb, np.int32)
+        samp_np = np.zeros((mb, 3), np.float32)
+        samp_np[:, 2] = 1.0  # idle lanes: top_p disabled
+        aids_np = np.full(mb, -1, np.int32)
+        lanes = []
+        for lane, slot in enumerate(sorted(self.running)):
+            if lane >= mb:
+                break
+            r = self.running[slot]
+            slots_np[lane] = slot
+            toks_np[lane] = r.next_token
+            pos_np[lane] = len(r.tokens) - 1
+            samp_np[lane] = (r.temperature, r.top_k, r.top_p)
+            aids_np[lane] = r.adapter_id
+            lanes.append(slot)
+        packed, self._key, self.caches = self._decode_multi_fn(
+            self._pages_bound(ahead=K), K)(
+            self.params,
+            self.lora,
+            self.caches,
+            jnp.asarray(toks_np),
+            jnp.asarray(pos_np),
+            jnp.asarray(slots_np),
+            jnp.asarray(samp_np),
+            jnp.asarray(aids_np),
+            self._key,
+        )
+        packed = np.asarray(packed)  # (mb, K, 2)
+        for j in range(K):
+            for lane, slot in enumerate(lanes):
+                if slot not in self.running:
+                    continue  # finished at an earlier j; discard the rest
+                r = self.running[slot]
+                tok = int(packed[lane, j, 0])
+                r.tokens.append(tok)
+                r.next_token = tok
+                r.logprobs.append(float(packed[lane, j, 1]))
+                self._tokens_out += 1
+                self._maybe_finish(slot)
+        # Roll cache lengths back to the committed counts. Engine invariant:
+        # device length = len(r.tokens) − 1 (the pending next_token's K/V is
+        # appended by the NEXT call). Surviving lanes already sit there
+        # (a same-value set); finished/freed slots go to 0.
+        lens_np = np.zeros(mb, np.int32)
+        for lane, slot in enumerate(lanes):
+            r = self.running.get(slot)
+            lens_np[lane] = len(r.tokens) - 1 if r is not None else 0
+        self.caches = self._set_lengths_fn()(
+            self.caches, jnp.asarray(slots_np[:len(lanes)]),
+            jnp.asarray(lens_np[:len(lanes)]))
 
     def _maybe_finish(self, slot: int) -> None:
         r = self.running.get(slot)
