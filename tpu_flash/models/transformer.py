@@ -372,6 +372,7 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
             q[0].astype(x.dtype), cache, slot_lanes, radius=radius,
             positions=positions[0] if radius is not None else None,
             pages_bound=pages_bound, return_lse=True,
+            shared_page_table=True,  # C lanes, ONE slot: one SMEM row
         )  # (C, qh, d), (C, qh) — chunk tokens ride the lane axis
         # in-chunk attention; padded tail rows only ever attend earlier
         # real keys, nothing attends the padding. Sliding models use the

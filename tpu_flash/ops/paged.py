@@ -66,6 +66,7 @@ def _paged_kernel(
     append: bool,
     want_lse: bool,
     resident_scales: bool,
+    shared_table: bool = False,
 ):
     if append:
         (lens_ref, pt_ref, start_ref, tpage_ref, off_ref, q_ref, k_ref,
@@ -114,7 +115,8 @@ def _paged_kernel(
         # the cost, and this pays for a large share of it (measured ~20%
         # off the int8 decode attention stack).
         np_b = jnp.maximum(pl.cdiv(length, page), 1)
-        phys = pt_ref[b, jnp.clip(page_idx, 0, np_b - 1)]
+        phys = pt_ref[0 if shared_table else b,
+                      jnp.clip(page_idx, 0, np_b - 1)]
         ks_blk = ks_ref[:, pl.ds(phys, 1)]  # (kvh, 1, 1, page)
         vs_blk = vs_ref[:, pl.ds(phys, 1)]
     elif quantized:
@@ -402,6 +404,7 @@ def paged_attention(
     scale: Optional[float] = None,
     pages_bound: Optional[int] = None,
     return_lse: bool = False,
+    shared_page_table: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Decode attention over the paged cache, optionally fused with the
@@ -431,6 +434,12 @@ def paged_attention(
         ``[start, lengths)``.
       pages_bound: static cap on pages scanned (defaults to the cache's
         max_pages_per_seq; pass a tighter bound when max length is known).
+      shared_page_table: all lanes address the SAME slot (chunked prefill
+        rides C chunk tokens of one sequence on the lane axis). Prefetches
+        ONE page-table row instead of a per-lane gather — a 2048-lane
+        chunk otherwise prefetches (2048, max_pages) int32 into SMEM,
+        which blows the 1 MB SMEM budget (r3 queue, exp6 A). Incompatible
+        with the fused append.
     """
     cfg = cache.config
     b, qh, d = q.shape
@@ -474,7 +483,13 @@ def paged_attention(
         start = jnp.maximum(qpos - radius, 0)
     else:
         start = jnp.zeros_like(lengths)
-    page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
+    if shared_page_table:
+        if append:
+            raise ValueError("shared_page_table requires pre-appended K/V")
+        # one row serves every lane (index maps read pt[0])
+        page_tables = cache.page_tables[slots[:1]].astype(jnp.int32)
+    else:
+        page_tables = cache.page_tables[slots].astype(jnp.int32)  # (B, maxp)
 
     # base-2 softmax: log2(e) rides the q prescale (see ops/flash.py); the
     # quantized cache's K scales multiply s elementwise afterwards, which
@@ -487,7 +502,8 @@ def paged_attention(
     def phys_page(bi, i, lens, pt, st, *_):
         np_b = jnp.maximum(pl.cdiv(lens[bi], page), 1)
         logical = st[bi] // page + i
-        return pt[bi, jnp.clip(logical, 0, np_b - 1)]
+        row = 0 if shared_page_table else bi
+        return pt[row, jnp.clip(logical, 0, np_b - 1)]
 
     def q_map(bi, i, *_):
         return (bi, 0, 0, 0)
@@ -591,6 +607,7 @@ def paged_attention(
         append=append,
         want_lse=return_lse,
         resident_scales=resident_scales,
+        shared_table=shared_page_table,
     )
     outs = pl.pallas_call(
         kernel,
