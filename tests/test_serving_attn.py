@@ -125,7 +125,11 @@ def test_serving_kv_split(rng, q_dtype, kv_dtype, schedule):
     q, k, v = _qkv(rng, 1, 2, 512, 64)
     kq, vq = quantize_kv_cache(k, v, kv_dtype, kv_scale="token")
     blk = dict(block_q=128, block_kv=256)
-    kw = dict(q_dtype=q_dtype, schedule=schedule, **blk)
+    # kv_split is a standard-layout knob; pin transposed=False so the A/B
+    # isolates the sub-tile reassociation (d=64 otherwise auto-routes
+    # kv_split=1 to the transposed kernel, whose ones-row l carries bf16
+    # p-rounding — a different, larger noise floor).
+    kw = dict(q_dtype=q_dtype, schedule=schedule, transposed=False, **blk)
     o1 = serving_flash_attention(q, kq, vq, kv_split=1, **kw)
     o2 = serving_flash_attention(q, kq, vq, kv_split=2, **kw)
     np.testing.assert_allclose(
@@ -134,3 +138,61 @@ def test_serving_kv_split(rng, q_dtype, kv_dtype, schedule):
     )
     with pytest.raises(ValueError):
         serving_flash_attention(q, kq, vq, kv_split=3, **kw)
+
+
+# ---------------------------------------------------------------------------
+# transposed d≤64 layout (auto-dispatched): parity vs the standard kernel
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("q_dtype,kv_dtype,kv_scale", [
+    ("int8", "int8", "token"),
+    ("float8_e4m3fn", "float8_e4m3fn", "token"),
+    ("float8_e4m3fn", "float8_e4m3fn", "tensor"),
+    (None, "int8", "token"),
+    (None, "float8_e4m3fn", "tensor"),
+])
+def test_transposed_matches_standard(rng, q_dtype, kv_dtype, kv_scale):
+    """The K-major d≤64 kernel computes the same exact online softmax as
+    the standard layout — identical numerics contract, to fp tolerance."""
+    q, k, v = _qkv(rng, 1, 4, 384, 64, hkv=2)
+    kq, vq = quantize_kv_cache(k, v, kv_dtype, kv_scale=kv_scale)
+    kw = dict(q_dtype=q_dtype, **_BLK)
+    o_t, lse_t = serving_flash_attention(
+        q, kq, vq, transposed=True, return_lse=True, **kw)
+    o_s, lse_s = serving_flash_attention(
+        q, kq, vq, transposed=False, return_lse=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o_t, np.float32), np.asarray(o_s, np.float32),
+        atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(lse_t), np.asarray(lse_s), atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("schedule,kw", [
+    ("causal", {}),
+    ("local", {"radius": 64}),
+    ("circulant", {"radius": 64, "wrap_n": 384}),
+])
+def test_transposed_schedules_match_standard(rng, schedule, kw):
+    q, k, v = _qkv(rng, 1, 2, 384, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8")
+    o_t = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", schedule=schedule, transposed=True,
+        **kw, **_BLK)
+    o_s = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", schedule=schedule, transposed=False,
+        **kw, **_BLK)
+    np.testing.assert_allclose(
+        np.asarray(o_t, np.float32), np.asarray(o_s, np.float32),
+        atol=5e-3, rtol=1e-2)
+
+
+def test_transposed_bound_max_off_matches_on(rng):
+    q, k, v = _qkv(rng, 1, 2, 256, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8")
+    o_on = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", transposed=True, bound_max=True, **_BLK)
+    o_off = serving_flash_attention(
+        q, kq, vq, q_dtype="int8", transposed=True, bound_max=False, **_BLK)
+    np.testing.assert_allclose(
+        np.asarray(o_on, np.float32), np.asarray(o_off, np.float32),
+        atol=2e-3, rtol=1e-2)

@@ -423,6 +423,7 @@ def quantized_flash_attention(
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     bound_max: bool = True,
+    transposed: Optional[bool] = None,
 ):
     """Quantize-and-attend on ``(batch, heads, n, d)`` inputs.
 
@@ -485,6 +486,32 @@ def quantized_flash_attention(
         raise ValueError(
             "kv_scale='tensor' is the fp8 scaling mode (int8 keeps the "
             "native MXU path with per-token scales)"
+        )
+
+    # d ≤ 64: delegate to the transposed serving kernel (K-major scores,
+    # ones-row l, full PV output lanes — quant/serving_attn._sv_kernel_t).
+    # Identical quantization granularities, so the matched-bitwidth error
+    # contract is unchanged; only circulant stays here (its halo-extension
+    # handling differs) and e5m2 Q (the serving path quantizes Q to e4m3).
+    if transposed is None:
+        transposed = (
+            d <= 64 and dv <= 64
+            and schedule in ("dense", "causal", "local", "local_causal",
+                             "block")
+            and (q_dtype is None or q_dtype in (
+                jnp.dtype(jnp.int8), jnp.dtype(jnp.float8_e4m3fn)))
+        )
+    if transposed:
+        from tpu_flash.quant.serving_attn import serving_flash_attention
+
+        kq4 = quantize(k, kv_dtype, axis=-1 if k_scaled else (-2, -1))
+        vq4 = quantize(v, kv_dtype, axis=-2)
+        return serving_flash_attention(
+            q, kq4, vq4, q_dtype=q_dtype, schedule=schedule, scale=scale,
+            radius=radius, section=section, shift=shift, wrap_n=wrap_n,
+            shifted_causal=shifted_causal, block_q=block_q,
+            block_kv=block_kv, bound_max=bound_max, transposed=True,
+            return_lse=return_lse, interpret=interpret,
         )
 
     # Quantize after halo extension / before padding.

@@ -245,6 +245,130 @@ def _sv_kernel(
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def _sv_kernel_t(
+    *refs,
+    sched: Schedule,
+    num_steps: int,
+    q_mode: str,      # "fp8"/"raw" (bf16 operand) | "int8"
+    kv_dtype,
+    k_scaled: bool,
+    need_lse: bool,
+    bound_max: bool,
+):
+    """Transposed-layout serving kernel for small head dims (d ≤ 64).
+
+    The standard serving kernel's PV dot writes dv ≤ 64 output lanes —
+    half the MXU (ops/flash.py `_fwd_kernel_t` measured the bf16 cost:
+    74.9 → ~102 TFLOP/s at d=64). Same remedy here against the QUANTIZED
+    cache: scores stay K-major ``s_t (bkv, bq) = K̂ ·NT· Q̂`` and PV is
+    ``V̂ᵀ_ext (dv+1, bkv) @ p`` with a ones row carrying the softmax
+    denominator (scale 1.0 in the per-channel dequant row vector).
+
+    Q-side quantization moves OUTSIDE the kernel as lane vectors (the
+    `_fwd_kernel_t` pattern for its norms): per-token Q scales / norm
+    bounds are (1, bq) row vectors here, and producing them in-kernel
+    would need a (bq,1)→(1,bq) relayout per q block; the XLA preamble
+    touches only Q (the small, fresh operand — K/V stay residents), ~2%
+    of attention time at d=64.
+    """
+    it = iter(refs)
+    qn_ref = next(it) if bound_max else None   # (1,8,bq) effective-q norms
+    kn_ref = next(it) if bound_max else None   # (1,8,bkv) scaled k̂ norms
+    qs_ref = next(it) if q_mode == "int8" else None  # (1,8,bq) q scales
+    q_ref = next(it)            # (1,bq,d) int8 q̂ or bf16 scale-folded q
+    k_ref = next(it)            # (1,bkv,d) cache-resident k̂
+    vte_ref = next(it)          # (1,dv+1,bkv) v̂ᵀ with ones row
+    sk_ref = next(it) if k_scaled else None    # (1,bkv,1) per-token K scales
+    sv_ref = next(it)           # (1,dv+1,1) per-channel V scales (+1.0 row)
+    ot_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)            # (8,bq)
+    acc_scr = next(it)          # (dv+1,bq)
+
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    bq, bkv = sched.block_q, sched.block_kv
+    fp8_kv = jnp.dtype(kv_dtype) in _F8
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _apply_mask(st):
+        kv_idx = sched.kv_block_index(i, s)
+        q_pos = i * bq + lax.broadcasted_iota(jnp.int32, (bkv, bq), 1)
+        k_pos = kv_idx * bkv + lax.broadcasted_iota(jnp.int32, (bkv, bq), 0)
+        mask = sched.mask(q_pos, k_pos)
+        if mask is not None:
+            st = jnp.where(mask, st, DEFAULT_MASK_VALUE)
+        return st
+
+    def _update(st):
+        m_prev = m_scr[:1]
+        if bound_max:
+            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
+            m_curr = qn_ref[0][:1] * kmax           # (1, bq)
+        else:
+            m_curr = jnp.max(st, axis=0, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(st - m_next).astype(jnp.bfloat16)
+        vf = (_fp8_upcast(vte_ref[0]) if fp8_kv
+              else vte_ref[0].astype(jnp.bfloat16))
+        pv = lax.dot_general(
+            vf, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dv+1, bq); row dv accumulates l
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:1] = m_next
+
+    def _scores():
+        k = k_ref[0]
+        if q_mode == "int8":
+            raw = lax.dot_general(
+                k, q_ref[0], _NT_DIMS, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)  # (bkv, bq)
+            st = raw * qs_ref[0][:1]
+        else:
+            kf = _fp8_upcast(k) if fp8_kv else (
+                k.astype(jnp.bfloat16) if k.dtype == jnp.int8 else k)
+            st = lax.dot_general(
+                kf, q_ref[0], _NT_DIMS, preferred_element_type=jnp.float32
+            )
+        if k_scaled:
+            st = st * sk_ref[0]  # (bkv, 1) row scales
+        return st
+
+    @pl.when(sched.step_needed(i, s))
+    def _step():
+        unm = sched.block_unmasked(i, s) if sched.has_mask else None
+        if not sched.has_mask or unm is True:
+            _update(_scores())
+        elif unm is None:
+            _update(_apply_mask(_scores()))
+        else:
+            pl.when(unm)(lambda: _update(_scores()))
+            pl.when(jnp.logical_not(unm))(
+                lambda: _update(_apply_mask(_scores())))
+
+    @pl.when(s == num_steps - 1)
+    def _finish():
+        dv = acc_scr.shape[0] - 1
+        l = acc_scr[dv:, :]
+        m = m_scr[:1]
+        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+        ot_ref[0] = (acc_scr[:dv] * l_inv * sv_ref[0, :dv]).astype(
+            ot_ref.dtype)
+        if need_lse:
+            lse = jnp.where(
+                valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                -jnp.inf,
+            )
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def serving_flash_attention(
     q: jnp.ndarray,
     kq: QArray,
@@ -263,10 +387,17 @@ def serving_flash_attention(
     pv_quant: bool = False,
     bound_max: Optional[bool] = None,
     kv_split: int = 1,
+    transposed: Optional[bool] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Attention over a quantized KV set with fresh bf16 Q.
+
+    ``transposed`` selects the K-major small-head-dim layout
+    (:func:`_sv_kernel_t`); default auto-enables it for d ≤ 64 (full MXU
+    output lanes on PV, ones-row l, norm-bound max — the bf16 d=64 remedy
+    of ops/flash.py `_fwd_kernel_t` applied to the quantized cache).
+    Incompatible with ``pv_quant`` and ``kv_split``.
 
     ``bound_max`` replaces the per-step score-tile max with the
     Cauchy-Schwarz row bound (exact online softmax under any upper bound;
@@ -353,6 +484,125 @@ def serving_flash_attention(
         return (bb // h) * hkv + (bb % h) // g
 
     kv_map = lambda bb, i, s, _s=sched: (kv_row(bb), _s.kv_block_index(i, s), 0)
+
+    if transposed is None:
+        transposed = d <= 64 and dv <= 64 and not pv_quant and kv_split == 1
+    if transposed:
+        if pv_quant:
+            raise ValueError("pv_quant requires the standard layout")
+        if kv_split != 1:
+            raise ValueError("kv_split is a standard-layout knob")
+        # ---- Q-side staging in XLA (see _sv_kernel_t docstring) ----
+        q32 = qf.astype(jnp.float32)
+        if k_scaled:
+            sk_fold = jnp.float32(1.0)
+        else:
+            # per-(batch,head) K scale folds into the Q staging
+            skb = kq.scales.reshape(b, hkv, 1)
+            sk_fold = jnp.broadcast_to(skb[:, :, None], (b, hkv, g, 1)
+                                       ).reshape(bh, 1, 1)
+        if q_mode == "int8":
+            amax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
+            sq = jnp.maximum(amax, _EPS) / 127.0
+            q_op = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
+            qs_row = (sq * (scale * LOG2E) * sk_fold)[..., 0]  # (bh, nq_pad)
+            qn_row = jnp.sqrt(jnp.sum(
+                q_op.astype(jnp.float32) ** 2, axis=-1)) * qs_row
+        else:
+            if q_mode == "fp8":
+                amax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
+                sq = jnp.maximum(amax, _EPS) / QMAX[
+                    jnp.dtype(jnp.float8_e4m3fn)]
+                q8 = (q32 / sq).astype(jnp.float8_e4m3fn)
+                qd = _fp8_upcast(q8).astype(jnp.float32) * (
+                    sq * (scale * LOG2E) * sk_fold)
+            else:
+                qd = q32 * (scale * LOG2E) * sk_fold
+            q_op = qd.astype(jnp.bfloat16)
+            qs_row = None
+            qn_row = jnp.sqrt(jnp.sum(
+                q_op.astype(jnp.float32) ** 2, axis=-1))
+        # V̂ᵀ with a ones row: the softmax denominator rides the PV dot;
+        # its dequant row scale is 1.0.
+        vte = jnp.concatenate(
+            [v_vals.transpose(0, 2, 1),
+             jnp.ones((bh_kv, 1, sched.n_kv_pad), v_vals.dtype)], axis=1)
+        sv_ext = jnp.concatenate(
+            [vq.scales.reshape(bh_kv, dv).astype(jnp.float32),
+             jnp.ones((bh_kv, 1), jnp.float32)], axis=1)[..., None]
+
+        lane_q_spec = pl.BlockSpec((1, 8, bq), lambda bb, i, s: (bb, 0, i))
+        lane_k_spec = pl.BlockSpec(
+            (1, 8, bkv),
+            lambda bb, i, s, _s=sched: (kv_row(bb), 0,
+                                        _s.kv_block_index(i, s)))
+        t_ops, t_specs = [], []
+        if bound_max:
+            kn = scaled_k_norms(k_vals, sk[:, 0, :] if k_scaled else None)
+            t_ops += [
+                jnp.broadcast_to(qn_row[:, None, :], (bh, 8, sched.n_q_pad)),
+                jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)),
+            ]
+            t_specs += [lane_q_spec, lane_k_spec]
+        if q_mode == "int8":
+            t_ops.append(jnp.broadcast_to(
+                qs_row[:, None, :], (bh, 8, sched.n_q_pad)))
+            t_specs.append(lane_q_spec)
+        t_ops += [q_op, k_vals, vte]
+        t_specs += [
+            pl.BlockSpec((1, bq, d), lambda bb, i, s: (bb, i, 0)),
+            pl.BlockSpec((1, bkv, d), kv_map),
+            pl.BlockSpec(
+                (1, dv + 1, bkv),
+                lambda bb, i, s, _s=sched: (kv_row(bb), 0,
+                                            _s.kv_block_index(i, s))),
+        ]
+        if k_scaled:
+            t_ops.append(sk.reshape(bh_kv, sched.n_kv_pad, 1))
+            t_specs.append(pl.BlockSpec(
+                (1, bkv, 1),
+                lambda bb, i, s, _s=sched: (kv_row(bb),
+                                            _s.kv_block_index(i, s), 0)))
+        t_ops.append(sv_ext)
+        t_specs.append(pl.BlockSpec(
+            (1, dv + 1, 1), lambda bb, i, s: (kv_row(bb), 0, 0)))
+        if return_lse:
+            lse_spec = pl.BlockSpec((1, 8, bq), lambda bb, i, s: (bb, 0, i))
+            lse_shape = jax.ShapeDtypeStruct(
+                (bh, 8, sched.n_q_pad), jnp.float32)
+        else:
+            lse_spec = pl.BlockSpec((1, 8, bq), lambda bb, i, s: (bb, 0, 0))
+            lse_shape = jax.ShapeDtypeStruct((bh, 8, bq), jnp.float32)
+        kernel = functools.partial(
+            _sv_kernel_t, sched=sched, num_steps=sched.max_kv_steps,
+            q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
+            need_lse=return_lse, bound_max=bound_max)
+        out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
+        ot, lse = pl.pallas_call(
+            kernel,
+            grid=(bh, sched.num_q_blocks, sched.max_kv_steps),
+            in_specs=t_specs,
+            out_specs=[
+                pl.BlockSpec((1, dv, bq), lambda bb, i, s: (bb, 0, i)),
+                lse_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, dv, sched.n_q_pad), out_dtype),
+                lse_shape,
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((8, bq), jnp.float32),
+                pltpu.VMEM((dv + 1, bq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*t_ops)
+        o = ot.transpose(0, 2, 1)[:, :n_q].reshape(b, h, n_q, dv)
+        if return_lse:
+            return o, lse[:, 0, :n_q].reshape(b, h, n_q)
+        return o
 
     operands = []
     in_specs = []
