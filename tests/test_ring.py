@@ -178,3 +178,96 @@ def test_hop_skipping_is_static(rng, seq_mesh):
         return txt.count("pallas_call")
 
     assert count_pallas("circulant", 64) < count_pallas("dense", 0)
+
+
+def _int4_shardwise(x, axis, p):
+    """Dequantized int4 reconstruction quantized PER SHARD (the ring's
+    granularity: scales are shard-local and travel with the bytes)."""
+    from tpu_flash.quant import qarray
+
+    nl = x.shape[2] // p
+    return jnp.concatenate([
+        qarray.dequantize_int4(
+            qarray.quantize_int4(x[:, :, s * nl:(s + 1) * nl], axis=axis))
+        for s in range(p)
+    ], axis=2)
+
+
+@pytest.mark.parametrize("pattern", ["causal", "local"])
+def test_ring_int4(rng, seq_mesh, pattern):
+    """INT4 ring: K/V nibble-packed per shard, packed bytes rotate (1/4
+    the bf16 ICI traffic), hops unpack to int8 and run the int8 MXU
+    kernel — bit-exact int4 numerics (BASELINE.md target #4)."""
+    q, k, v = _qkv(rng, 1, 2, 1024, 32)
+    radius = 200 if pattern == "local" else 0
+    fn = ring_dense_fa(
+        seq_mesh, pattern=pattern, radius=radius,
+        q_dtype="int8", kv_dtype="int4", **_BLK,
+    )
+    o = np.asarray(fn(q, k, v)).astype(np.float32)
+    # int4-matched oracle at the RING's granularity: each shard quantizes
+    # its own K/V (per-token K, per-channel-of-shard V), so the oracle
+    # must quantize shardwise too.
+    kd = _int4_shardwise(k, -1, 8)
+    vd = _int4_shardwise(v, -2, 8)
+    sc = 1.0 / np.sqrt(q.shape[-1])
+    from tpu_flash.quant import qarray
+
+    qd = qarray.dequantize(qarray.quantize(q * sc, "int8", axis=-1))
+    if pattern == "causal":
+        o_ref, _ = oracle.dense_dpa(qd, kd, vd, scale=1.0, causal=True)
+    else:
+        o_ref, _ = oracle.blockwise_dpa(
+            qd, kd, vd, scale=1.0, window_size=2 * radius + 1)
+    assert np.max(np.abs(o - np.asarray(o_ref))) <= 1e-2
+
+
+def test_ring_int4_permute_packed_bytes(rng, seq_mesh):
+    """The int4 ring's ppermute operands carry PACKED nibbles: K rotates
+    at HALF the int8 byte count (d/2 on the packed axis)."""
+    from tpu_flash.parallel.ring import ring_attention
+    from jax.sharding import PartitionSpec as P
+
+    q, k, v = _qkv(rng, 1, 1, 1024, 32)
+
+    def local(q, k, v):
+        return ring_attention(
+            q, k, v, "seq", pattern="causal", q_dtype="int8",
+            kv_dtype="int4", **_BLK,
+        )
+
+    f = jax.shard_map(
+        local, mesh=seq_mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None),
+        check_vma=False,
+    )
+    txt = str(jax.make_jaxpr(f)(q, k, v))
+    assert "ppermute" in txt
+    assert "i8[1,1,128,16]" in txt  # d=32 packed to 16 bytes
+
+
+def test_ring_int4_32k(rng, seq_mesh):
+    """BASELINE target #4 shape: 32k global sequence, banded, INT4 KV on
+    the 8-device virtual mesh (4096 tokens per shard)."""
+    n, radius = 32768, 512
+    q, k, v = _qkv(rng, 1, 1, n, 32)
+    fn = ring_dense_fa(
+        seq_mesh, pattern="local", radius=radius,
+        q_dtype="int8", kv_dtype="int4", block_q=512, block_kv=512,
+    )
+    o = np.asarray(fn(q, k, v)).astype(np.float32)
+    from tpu_flash.quant import qarray
+
+    kd = _int4_shardwise(k, -1, 8)
+    vd = _int4_shardwise(v, -2, 8)
+    sc = 1.0 / np.sqrt(q.shape[-1])
+    qd = qarray.dequantize(qarray.quantize(q * sc, "int8", axis=-1))
+    # O(N)-memory oracle on three query bands (full 32k row set is slow
+    # on the CPU test runner; bands cover edges + interior exactly)
+    for a, nb in [(0, 1024), (n // 2 - 512, 1024), (n - 1024, 1024)]:
+        want, _ = oracle.blockwise_dpa(
+            qd[:, :, a:a + nb], kd, vd, scale=1.0,
+            window_size=2 * radius + 1, q_start=a)
+        err = np.max(np.abs(o[:, :, a:a + nb] - np.asarray(want)))
+        assert err <= 1e-2, (a, err)

@@ -93,7 +93,43 @@ def ring_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    if kv_dtype is not None:
+    if kv_dtype == "int4":
+        # INT4 ring (BASELINE.md target #4: 32k ring with INT4 KV): each
+        # shard quantizes K per-token / V per-channel to the int4 grid
+        # ONCE, nibble-packs pairs into int8 bytes, and the ring rotates
+        # the PACKED bytes — one QUARTER the bf16 ICI traffic. Per hop the
+        # nibbles unpack to int8 values (two arithmetic shifts; the int4
+        # grid is a subset of int8, so the hop runs the native int8-MXU
+        # prequant kernel with bit-exact int4 numerics). Q rides the int8
+        # path (there is no practical int4 Q: it is fresh each call and
+        # never moves over ICI).
+        from tpu_flash.quant import qarray
+        from tpu_flash.quant.flash_q import (
+            QArray,
+            prepare_ring_operands,
+            quantized_flash_attention_prequant,
+        )
+
+        if q_dtype not in (None, "int8"):
+            raise ValueError("int4 ring pairs with q_dtype=None or 'int8'")
+        k4 = qarray.quantize_int4(k.astype(jnp.float32), axis=-1)
+        v4 = qarray.quantize_int4(v.astype(jnp.float32), axis=-2)
+        q_in, _, _ = prepare_ring_operands(
+            q, k, v, q_dtype=q_dtype, kv_dtype="int8", scale=scale
+        )
+        kv0 = (k4.values, k4.scales, v4.values, v4.scales)
+
+        def attend(qh, kvh, **skw):
+            kqh = QArray(values=qarray.unpack_int4(kvh[0]),
+                         scales=kvh[1], axis=-1)
+            vqh = QArray(values=qarray.unpack_int4(kvh[2]),
+                         scales=kvh[3], axis=-2)
+            return quantized_flash_attention_prequant(
+                qh, kqh, vqh, block_q=block_q, block_kv=block_kv,
+                return_lse=True, interpret=interpret, out_dtype=q.dtype,
+                **skw,
+            )
+    elif kv_dtype is not None:
         from tpu_flash.quant.flash_q import (
             QArray,
             prepare_ring_operands,
