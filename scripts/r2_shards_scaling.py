@@ -82,21 +82,28 @@ def run_case(params, shards, prompt_len, cache_dtype, rows):
         eng.submit(Request(
             rid=rid,
             prompt=list(rng.integers(1, 250, prompt_len)),
-            max_new_tokens=24,
+            max_new_tokens=32,  # > warmup(3) + timed(5 repeats x 4 steps)
         ))
     eng.step()          # admission + prefill + first decode (compiles)
     for _ in range(2):  # warm the decode dispatch path
         eng.step()
-    n_steps = 8
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        eng.step()
-    dt = (time.perf_counter() - t0) / n_steps
+    # median over repeats: single-shot CPU wall-clock produced a
+    # non-monotonic curve (117/67/99/74 tok/s at 1/2/4/8 shards) that
+    # undermined the round-2 scaling claim (VERDICT r2 item 8)
+    n_steps, repeats = 4, 5
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            eng.step()
+        samples.append((time.perf_counter() - t0) / n_steps)
+    dt = sorted(samples)[len(samples) // 2]
     row = {
         "shards": shards,
         "prompt_len": prompt_len,
         "dtype": cache_dtype,
         "ms_step": round(dt * 1e3, 2),
+        "ms_step_spread": [round(s * 1e3, 2) for s in sorted(samples)],
         "tok_s": round(BATCH / dt, 1),
     }
     rows.append(row)
