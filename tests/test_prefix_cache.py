@@ -252,3 +252,22 @@ def test_prefix_cache_composes_with_speculation(rng):
     out = {f.rid: f.new_tokens for f in eng.run()}
     assert out[0] == cold[0] and out[1] == cold[0]
     assert eng.spec_stats()["proposed"] > 0
+
+
+def test_engine_same_step_herd_gets_full_chain_hits(rng):
+    """Same-prefix requests submitted together must NOT all miss: the
+    admission gate defers followers one step while the leader's chunked
+    prefill publishes its pages, then the herd hits the full chain
+    (round-3 finding: 8 concurrent same-prefix requests each matched one
+    stale page and the warm serve ran 2x slower than cold)."""
+    base = list(rng.integers(1, 127, 48))  # three full pages
+    prompts = [base + list(rng.integers(1, 127, 7)) for _ in range(3)]
+    cold, _ = _serve(prompts, prefix_cache=False, max_batch=3,
+                     chunk_size=16)
+    warm, eng = _serve(prompts, prefix_cache=True, max_batch=3,
+                       chunk_size=16)
+    for rid in cold:
+        assert warm[rid] == cold[rid]
+    st = eng._pcache.stats()
+    # followers (2 of 3) must each match the full 48-token shared chain
+    assert st["hit_tokens"] >= 2 * 48, st

@@ -953,11 +953,33 @@ class Engine:
             cs = self.ecfg.chunk_size
             slot = self._free_slots[0]
 
+            # Thundering-herd gate: if a currently-prefilling request
+            # shares this one's first page, its full chain is about to be
+            # published — admitting now would match only a stale short
+            # chain and serve the whole shared prefix through the slow
+            # chunked-tail path (measured in r3: 8 same-prefix requests
+            # admitted together matched 1 page each, and the "warm" serve
+            # ran 2.1x SLOWER than cold). Defer one step; the leader's
+            # insert turns the rest into full-chain hits.
+            if self._pcache is not None and self.prefilling:
+                head = tuple(req.prompt[:ps])
+                if any(tuple(st["req"].prompt[:ps]) == head
+                       for st in self.prefilling.values()):
+                    break
+
             # adapter-scoped prefix namespace: adapted K/V never shares
             # with the base model or other adapters (anchor -1 = base)
             shared = (self._pcache.match(req.prompt, ps,
                                          anchor=-2 - req.adapter_id)
                       if self._pcache is not None else [])
+            # A sliver hit is a net loss: the shared path routes the tail
+            # through chunked prefill (one paged-prefix call per chunk),
+            # so taking it to save one page's compute trades a fast
+            # whole-prompt prefill for a slow one. Require the cached
+            # prefix to be worth it.
+            if shared and (len(shared) * ps
+                           < max(2 * ps, len(req.prompt) // 8)):
+                shared = []
             if shared:
                 # prefix hit: table = shared pages (copy-on-write) + fresh
                 # tail pages; the tail prefills through the chunked path
