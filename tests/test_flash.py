@@ -187,3 +187,34 @@ def test_forced_bh_block_matches_oracle(rng, bhb):
     with flash.force_bh_block(3):
         o = flash.sliding_fa(q, k, v, 129, **_BLK)
     np.testing.assert_allclose(o, o_ref, atol=2e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# in-step pipelined band forward (manual double-buffered kv DMA)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("case", ["sliding", "sliding_causal", "circulant",
+                                  "ragged"])
+def test_band_pipeline_matches_blockspec_path(rng, case):
+    """The hand-pipelined band kernel is the SAME online softmax over the
+    same tiles — outputs and lse match the BlockSpec-pipelined path."""
+    from tpu_flash.ops import flash
+
+    b, h, d, w = 1, 2, 64, 129
+    n = 1000 if case == "ragged" else 1024
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    kw = dict(block_q=256, block_kv=256)
+    fn = {
+        "sliding": lambda: flash.sliding_fa(q, k, v, w, return_lse=True, **kw),
+        "ragged": lambda: flash.sliding_fa(q, k, v, w, return_lse=True, **kw),
+        "sliding_causal": lambda: flash.sliding_fa(
+            q, k, v, w, causal=True, return_lse=True, **kw),
+        "circulant": lambda: flash.circulant_fa(
+            q, k, v, w, return_lse=True, **kw),
+    }[case]
+    with flash.band_pipeline(True, sub=256):
+        o_p, lse_p = fn()
+    o_s, lse_s = fn()
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_s),
+                               atol=1e-6)

@@ -72,6 +72,28 @@ def _interpret_default() -> bool:
 _BH_BLOCK_OVERRIDE: Optional[int] = None
 
 
+# Experiment knobs for the in-step pipelined band forward (VERDICT r2
+# item 3): None = off (BlockSpec pipeline), True/False = force. Sub-tile
+# width is the DMA slab the kernel streams per fori_loop iteration.
+_BAND_PIPELINE: Optional[bool] = None
+_BAND_SUB: int = 512
+
+
+@contextlib.contextmanager
+def band_pipeline(on: Optional[bool], sub: Optional[int] = None):
+    """Force the Local/Circulant forward through the in-step pipelined
+    kernel (:func:`_fwd_kernel_band`). For A/B experiments."""
+    global _BAND_PIPELINE, _BAND_SUB
+    prev, prev_sub = _BAND_PIPELINE, _BAND_SUB
+    _BAND_PIPELINE = on
+    if sub is not None:
+        _BAND_SUB = sub
+    try:
+        yield
+    finally:
+        _BAND_PIPELINE, _BAND_SUB = prev, prev_sub
+
+
 @contextlib.contextmanager
 def force_bh_block(n: Optional[int]):
     """Force the forward kernels' batch-head packing to ``n`` (MHA only;
@@ -219,6 +241,270 @@ def _fwd_kernel(
                     -jnp.inf,
                 )
                 lse_ref[bb] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _fwd_kernel_band(
+    *refs,
+    sched: Schedule,
+    sub: int,
+    num_tiles: int,
+    bh_block: int,
+    need_lse: bool,
+    rel_lo: int,   # band in relative coords: rel_lo ≤ k − q ≤ rel_hi
+    rel_hi: int,
+    hq: int,
+    hkv: int,
+):
+    """Band forward with the kv stream hand-pipelined INSIDE one grid step.
+
+    The BlockSpec pipeline pays a fixed ~2 µs per grid step; band schedules
+    have so little per-step work that this floor, not flops, bounds them
+    (DESIGN §12: sliding w=1025 @8k stuck at ~2.8× dense against 8×
+    coverage). Here the grid is just (bh-groups, q-blocks): each invocation
+    walks its band's kv sub-tiles in a constant-trip ``fori_loop``,
+    streaming K/V slabs from HBM (ANY memory space) through double-buffered
+    ``make_async_copy`` — tile t+1's DMA is in flight under tile t's
+    dot/softmax, and the bh-row staging overlaps MXU and VPU exactly as in
+    :func:`_fwd_kernel`. Out-of-band trailing tiles issue a clamped
+    (wasted, but always-valid) DMA and skip compute — issue/wait stay
+    symmetric, which is the v5e-safe pattern (a dynamic-trip loop with a
+    conditional tail DMA wedges the chip — DESIGN §13).
+
+    The band is expressed in RELATIVE coordinates ``rel_lo ≤ k − q ≤
+    rel_hi``: local = (−r, r), local-causal = (−r, 0), circulant over
+    halo-extended K/V = (0, 2r). One iota/compare pair covers masking for
+    all three; interior tiles skip it entirely.
+    """
+    (q_ref, k_any, v_any, o_ref, lse_ref, kbuf, vbuf, sems,
+     m_scr, l_scr, acc_scr) = refs
+    g0 = pl.program_id(0)
+    i = pl.program_id(1)
+    bq = sched.block_q
+    g = hq // hkv
+
+    def kv_row(row):
+        if g == 1:
+            return row
+        return (row // hq) * hkv + (row % hq) // g
+
+    kv_len = sched.kv_len
+    kvp = sched.n_kv_pad
+    q_lo = i * bq
+    q_hi = jnp.minimum(q_lo + bq - 1, sched.n_q - 1)
+    band_lo = jnp.maximum(q_lo + rel_lo, 0)
+    band_hi = jnp.minimum(q_hi + rel_hi, kv_len - 1)
+    s0 = band_lo // sub * sub
+
+    m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def off_of(t):
+        return s0 + t * sub
+
+    def dma(t, slot, bb, which):
+        # clamped source: always legal, so issue/wait run unconditionally
+        off = jnp.minimum(off_of(t), kvp - sub)
+        src, dst = ((k_any, kbuf) if which == 0 else (v_any, vbuf))
+        row = kv_row(g0 * bh_block + bb)
+        return pltpu.make_async_copy(
+            src.at[row, pl.ds(off, sub)],
+            dst.at[slot, bb],
+            sems.at[slot, which, bb],
+        )
+
+    def issue(t, slot):
+        for bb in range(bh_block):
+            dma(t, slot, bb, 0).start()
+            dma(t, slot, bb, 1).start()
+
+    def wait(t, slot):
+        for bb in range(bh_block):
+            dma(t, slot, bb, 0).wait()
+            dma(t, slot, bb, 1).wait()
+
+    issue(0, 0)
+
+    def loop_body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _prefetch():
+            issue(t + 1, (t + 1) % 2)
+
+        wait(t, slot)
+        off = off_of(t)
+
+        @pl.when(off <= band_hi)
+        def _compute():
+            def _qk(bb):
+                return lax.dot_general(
+                    q_ref[bb], kbuf[slot, bb], _NT_DIMS,
+                    preferred_element_type=jnp.float32,
+                )
+
+            def _update(sij, bb, masked):
+                if masked:
+                    q_pos = q_lo + lax.broadcasted_iota(
+                        jnp.int32, (bq, sub), 0)
+                    k_pos = off + lax.broadcasted_iota(
+                        jnp.int32, (bq, sub), 1)
+                    rel = k_pos - q_pos
+                    keep = (rel >= rel_lo) & (rel <= rel_hi)
+                    if kv_len % sub or kvp != kv_len:
+                        keep &= k_pos < kv_len
+                    sij = jnp.where(keep, sij, DEFAULT_MASK_VALUE)
+                m_prev = m_scr[bb, :, :1]
+                l_prev = l_scr[bb, :, :1]
+                m_curr = jnp.max(sij, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(sij - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+                l_scr[bb] = jnp.broadcast_to(l_next, l_scr.shape[1:])
+                pv = lax.dot_general(
+                    p.astype(vbuf.dtype), vbuf[slot, bb],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[bb] = acc_scr[bb] * alpha + pv
+
+            def _run(masked):
+                s_next = _qk(0)
+                for bb in range(bh_block):
+                    sij = s_next
+                    if bb + 1 < bh_block:
+                        s_next = _qk(bb + 1)
+                    _update(sij, bb, masked)
+
+            # interior fast path: every (q, k) pair of the tile in-band
+            unm = ((off - q_hi >= rel_lo)
+                   & (off + sub - 1 - q_lo <= rel_hi)
+                   & (off + sub <= kv_len))
+            pl.when(unm)(lambda: _run(False))
+            pl.when(jnp.logical_not(unm))(lambda: _run(True))
+
+        return _
+
+    lax.fori_loop(0, num_tiles, loop_body, None)
+
+    for bb in range(bh_block):
+        l = l_scr[bb, :, :1]
+        m = m_scr[bb, :, :1]
+        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+        o_ref[bb] = (acc_scr[bb] * l_inv).astype(o_ref.dtype)
+        if need_lse:
+            lse = jnp.where(
+                valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                -jnp.inf,
+            )
+            lse_ref[bb] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _band_tiles(sched: Schedule, sub: int, rel_lo: int, rel_hi: int) -> int:
+    """Static max sub-tile count over q blocks (the constant trip count)."""
+    best = 1
+    bq = sched.block_q
+    for i in range(sched.num_q_blocks):
+        q_lo = i * bq
+        q_hi = min(q_lo + bq - 1, sched.n_q - 1)
+        lo = max(q_lo + rel_lo, 0)
+        hi = min(q_hi + rel_hi, sched.kv_len - 1)
+        if hi >= lo:
+            best = max(best, hi // sub - lo // sub + 1)
+    return best
+
+
+def _flash_fwd_band(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    sched: Schedule,
+    *,
+    interpret: bool,
+    out_dtype,
+    hq: int = 1,
+    hkv: int = 1,
+    need_lse: bool = True,
+    sub: Optional[int] = None,
+):
+    """Dispatch of :func:`_fwd_kernel_band` for Local/Circulant schedules."""
+    bh, nq_pad, d = q.shape
+    dv = v.shape[-1]
+    bq = sched.block_q
+    if isinstance(sched, CirculantSchedule):
+        rel_lo, rel_hi = 0, 2 * sched.radius
+    elif isinstance(sched, LocalSchedule):
+        rel_lo = -sched.radius
+        rel_hi = 0 if sched.causal else sched.radius
+    else:
+        raise ValueError("band pipeline requires a Local/Circulant schedule")
+    if sub is None:
+        sub = _BAND_SUB
+    sub = min(sub, sched.n_kv_pad)
+    if sched.n_kv_pad % sub:
+        raise ValueError(f"band sub-tile {sub} must divide n_kv_pad "
+                         f"{sched.n_kv_pad}")
+    num_tiles = _band_tiles(sched, sub, rel_lo, rel_hi)
+
+    g = hq // hkv
+    bhb = 1
+    if g == 1:
+        if _BH_BLOCK_OVERRIDE is not None:
+            if bh % _BH_BLOCK_OVERRIDE == 0:
+                bhb = _BH_BLOCK_OVERRIDE
+        else:
+            while (bhb < 8 and bh % (bhb * 2) == 0
+                   and bq * sub * 4 * (bhb * 2) <= (2 << 20)):
+                bhb *= 2
+    grid = (bh // bhb, sched.num_q_blocks)
+
+    kernel = functools.partial(
+        _fwd_kernel_band, sched=sched, sub=sub, num_tiles=num_tiles,
+        bh_block=bhb, need_lse=need_lse, rel_lo=rel_lo, rel_hi=rel_hi,
+        hq=hq, hkv=hkv,
+    )
+    if need_lse:
+        lse_spec = pl.BlockSpec((bhb, bq, _LANES), lambda b, i: (b, i, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, nq_pad, _LANES), jnp.float32)
+    else:
+        lse_spec = pl.BlockSpec((bhb, 1, _LANES), lambda b, i: (b, 0, 0))
+        lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bhb, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((bhb, bq, dv), lambda b, i: (b, i, 0)),
+            lse_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, dv), out_dtype),
+            lse_shape,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bhb, sub, d), k.dtype),
+            pltpu.VMEM((2, bhb, sub, dv), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, bhb)),
+            pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+            pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+            pltpu.VMEM((bhb, bq, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if not need_lse:
+        return o, jnp.zeros((bh, nq_pad), jnp.float32)
+    return o, lse[..., 0]
 
 
 def _fwd_kernel_t(
@@ -481,6 +767,13 @@ def _flash_fwd(
     need_lse: bool = True,
     vmem_limit_mb: Optional[int] = None,
 ):
+    if (_BAND_PIPELINE and isinstance(sched, (LocalSchedule,
+                                              CirculantSchedule))
+            and sched.n_kv_pad % _BAND_SUB == 0):
+        return _flash_fwd_band(
+            q, k, v, sched, interpret=interpret, out_dtype=out_dtype,
+            hq=hq, hkv=hkv, need_lse=need_lse,
+        )
     if q.shape[-1] <= 64 and v.shape[-1] <= 64:
         # small head dims: the transposed kernel keeps the MXU's output
         # lanes full (VERDICT r1 item 2; 74.9 → 101.9 TFLOP/s at d=64).

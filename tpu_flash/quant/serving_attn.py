@@ -67,7 +67,14 @@ def _sv_kernel(
     pv_quant: bool = False,
     bound_max: bool = False,
     kv_split: int = 1,
+    isolate: str = "",
 ):
+    # ``isolate`` is a DIAGNOSTIC knob (scripts/r3_exp2.py): it deletes one
+    # VPU pass to measure its serial cost against the MXU chain — outputs
+    # are WRONG under it. "noexp": the per-element exp2 becomes a subtract;
+    # "nosum": the l (denominator) reduction is skipped; "dots": bare dot
+    # chain (no softmax state at all). Floor analysis for the fp8 headline
+    # (VERDICT r2 item 2) — see docs/DESIGN.md §15.
     it = iter(refs)
     kn_ref = next(it) if bound_max else None  # (1,8,bkv) scaled k̂ norms
     q_ref = next(it)
@@ -196,6 +203,13 @@ def _sv_kernel(
         if masked:
             sijs = [_apply_mask(sij, j * csz, csz) for j, sij in
                     enumerate(sijs)]
+        if isolate == "dots":
+            acc = acc_scr[...]
+            for j, sij in enumerate(sijs):
+                acc = acc + _pv(sij * (1.0 / 4096.0), j)
+            acc_scr[...] = acc
+            l_scr[...] = jnp.ones_like(l_scr)
+            return
         m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
         if bound_max:
@@ -208,10 +222,16 @@ def _sv_kernel(
                     m_curr, jnp.max(sij, axis=-1, keepdims=True))
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        ps = [jnp.exp2(sij - m_next) for sij in sijs]
+        if isolate == "noexp":
+            ps = [(sij - m_next) * (1.0 / 4096.0) for sij in sijs]
+        else:
+            ps = [jnp.exp2(sij - m_next) for sij in sijs]
         l_next = alpha * l_prev
-        for p in ps:
-            l_next = l_next + jnp.sum(p, axis=-1, keepdims=True)
+        if isolate == "nosum":
+            l_next = l_next + 1.0
+        else:
+            for p in ps:
+                l_next = l_next + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
         acc = acc_scr[...] * alpha
@@ -388,6 +408,7 @@ def serving_flash_attention(
     bound_max: Optional[bool] = None,
     kv_split: int = 1,
     transposed: Optional[bool] = None,
+    isolate: str = "",
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -486,7 +507,8 @@ def serving_flash_attention(
     kv_map = lambda bb, i, s, _s=sched: (kv_row(bb), _s.kv_block_index(i, s), 0)
 
     if transposed is None:
-        transposed = d <= 64 and dv <= 64 and not pv_quant and kv_split == 1
+        transposed = (d <= 64 and dv <= 64 and not pv_quant
+                      and kv_split == 1 and not isolate)
     if transposed:
         if pv_quant:
             raise ValueError("pv_quant requires the standard layout")
@@ -654,7 +676,7 @@ def serving_flash_attention(
         _sv_kernel, sched=sched, num_steps=sched.max_kv_steps,
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
         need_lse=return_lse, scale=scale, pv_quant=pv_quant,
-        bound_max=bound_max, kv_split=kv_split,
+        bound_max=bound_max, kv_split=kv_split, isolate=isolate,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
     o, lse = pl.pallas_call(
