@@ -54,6 +54,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def stream_row(row: dict, name: str) -> None:
+    """Append one finished row to the suite's JSONL immediately.
+
+    The long suites (attention/backward with oracle gates at every shape)
+    can outlive a queue timeout; emit() at suite end would then write
+    NOTHING. Suites truncate the file once up front, then append."""
+    os.makedirs(LOG_DIR, exist_ok=True)
+    with open(os.path.join(LOG_DIR, f"{name}.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
 def emit(rows: list[dict], name: str, merge: bool = False) -> None:
     os.makedirs(LOG_DIR, exist_ok=True)
     jpath = os.path.join(LOG_DIR, f"{name}.jsonl")
@@ -85,12 +96,14 @@ def _rand(rng, *shape, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 # attention forward sweep
 # ---------------------------------------------------------------------------
-def suite_attention(quick: bool) -> list[dict]:
+def suite_attention(quick: bool, stream: "str | None" = None) -> list[dict]:
     import tpu_flash as tf
     from tpu_flash.quant.flash_q import quantized_flash_attention
 
     rng = np.random.default_rng(0)
     rows = []
+    if stream:  # truncate the streamed file once up front
+        open(os.path.join(LOG_DIR, f"{stream}.jsonl"), "w").close()
     b, h = 1, 8
     seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384, 32768)
     dims = (64,) if quick else (64, 128)
@@ -228,6 +241,8 @@ def suite_attention(quick: bool) -> list[dict]:
                     continue
                 row = res.row(roof_dtype)
                 rows.append(row)
+                if stream:
+                    stream_row(row, stream)
                 log(f"  {name:12s} n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms"
                     f"  {res.tflops:7.2f} TFLOP/s  roof {row['roofline_frac']:.1%}")
     return rows
@@ -293,11 +308,13 @@ def suite_ndim(quick: bool) -> list[dict]:
 # backward sweep (fwd+bwd via jax.grad — the reference never shipped a
 # working backward; ours must be both correct and fast)
 # ---------------------------------------------------------------------------
-def suite_backward(quick: bool) -> list[dict]:
+def suite_backward(quick: bool, stream: "str | None" = None) -> list[dict]:
     import tpu_flash as tf
 
     rng = np.random.default_rng(0)
     rows = []
+    if stream:
+        open(os.path.join(LOG_DIR, f"{stream}.jsonl"), "w").close()
     b, h = 1, 8
     seqlens = (1024, 4096) if quick else (1024, 4096, 8192, 16384)
     dims = (64,) if quick else (64, 128)
@@ -368,6 +385,8 @@ def suite_backward(quick: bool) -> list[dict]:
                 config={"n": n, "d": d, "b": b, "h": h, "coverage": cov},
             )
             rows.append(res.row("bf16"))
+            if stream:
+                stream_row(res.row("bf16"), stream)
             log(f"  {name:18s} n={n:6d} d={d:4d}  {res.seconds*1e3:8.2f} ms"
                 f"  {res.tflops:7.2f} TFLOP/s (covered)")
     return rows
@@ -550,11 +569,13 @@ def main() -> None:
     # replaced the dim-2048/16-layer headline with a dim-1024/4-layer row).
     sfx = "_quick" if args.quick else ""
     if args.suite in ("attention", "all"):
-        emit(suite_attention(args.quick), "attention" + sfx)
+        emit(suite_attention(args.quick, stream="attention" + sfx),
+             "attention" + sfx)
     if args.suite in ("ndim", "all"):
         emit(suite_ndim(args.quick), "ndim" + sfx)
     if args.suite in ("backward", "all"):
-        emit(suite_backward(args.quick), "backward" + sfx)
+        emit(suite_backward(args.quick, stream="backward" + sfx),
+             "backward" + sfx)
     if args.suite in ("softmax", "all"):
         emit(suite_softmax(args.quick), "softmax" + sfx)
     if args.suite in ("decode", "all"):

@@ -289,11 +289,13 @@ def _fwd_kernel_band(
 
     kv_len = sched.kv_len
     kvp = sched.n_kv_pad
+    n_tiles_total = kvp // sub
     q_lo = i * bq
     q_hi = jnp.minimum(q_lo + bq - 1, sched.n_q - 1)
     band_lo = jnp.maximum(q_lo + rel_lo, 0)
     band_hi = jnp.minimum(q_hi + rel_hi, kv_len - 1)
-    s0 = band_lo // sub * sub
+    t0 = band_lo // sub
+    s0 = t0 * sub
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -303,12 +305,17 @@ def _fwd_kernel_band(
         return s0 + t * sub
 
     def dma(t, slot, bb, which):
-        # clamped source: always legal, so issue/wait run unconditionally
-        off = jnp.minimum(off_of(t), kvp - sub)
+        # K/V arrive TILE-POOLED: (rows, kvp//sub, sub, d). The DMA indexes
+        # the tile dim with a dynamic SCALAR — a dynamic `pl.ds` offset on
+        # an ANY-space source crashes this libtpu's Mosaic compile outright
+        # (bisected r3; the paged kernels' per-page DMAs are scalar-indexed
+        # for the same reason). Clamped index: always legal, so issue/wait
+        # run unconditionally and stay symmetric.
+        tidx = jnp.minimum(t0 + t, n_tiles_total - 1)
         src, dst = ((k_any, kbuf) if which == 0 else (v_any, vbuf))
         row = kv_row(g0 * bh_block + bb)
         return pltpu.make_async_copy(
-            src.at[row, pl.ds(off, sub)],
+            src.at[row, tidx],
             dst.at[slot, bb],
             sems.at[slot, which, bb],
         )
@@ -387,7 +394,11 @@ def _fwd_kernel_band(
 
         return _
 
-    lax.fori_loop(0, num_tiles, loop_body, None)
+    # num_tiles is STATIC and small (≤ ~(bq+2r)/sub + 2): unroll in Python —
+    # no loop-carried DMA state for Mosaic to reason about, and the
+    # scheduler can overlap across tile iterations.
+    for t in range(num_tiles):
+        loop_body(t, None)
 
     for bb in range(bh_block):
         l = l_scr[bb, :, :1]
@@ -473,6 +484,9 @@ def _flash_fwd_band(
         lse_spec = pl.BlockSpec((bhb, 1, _LANES), lambda b, i: (b, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
 
+    bhkv = k.shape[0]
+    kt = k.reshape(bhkv, sched.n_kv_pad // sub, sub, d)
+    vt = v.reshape(bhkv, sched.n_kv_pad // sub, sub, dv)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -501,7 +515,7 @@ def _flash_fwd_band(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, kt, vt)
     if not need_lse:
         return o, jnp.zeros((bh, nq_pad), jnp.float32)
     return o, lse[..., 0]

@@ -32,7 +32,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E, _auto_vmem_mb
-from tpu_flash.ops.schedule import Schedule
+from tpu_flash.ops.schedule import (
+    CirculantSchedule,
+    LocalSchedule,
+    Schedule,
+)
 
 _LANES = 128
 
@@ -429,6 +433,21 @@ def flash_backward(
     nkv_pad = k.shape[1]
     dv_dim = v.shape[-1]
     bq, bkv = sched.block_q, sched.block_kv
+
+    # Band backward retiles to 512×512 regardless of the forward's blocks:
+    # at the forward's large tiles most of a band tile is masked waste and
+    # the bh packing below can't engage (VMEM); measured r3_exp2 D:
+    # 512/512/bhb4 = 59.5 TFLOP/s covered vs 33 at the forward defaults.
+    # Only when the forward's padding stays block-aligned (fwd blocks are
+    # multiples of 512, so it does unless the caller forced odd blocks).
+    if isinstance(sched, (LocalSchedule, CirculantSchedule)):
+        import dataclasses as _dc
+
+        nb_q, nb_kv = min(bq, 512), min(bkv, 512)
+        cand = _dc.replace(sched, block_q=nb_q, block_kv=nb_kv)
+        if cand.n_q_pad == nq_pad and cand.n_kv_pad == nkv_pad:
+            sched, bq, bkv = cand, nb_q, nb_kv
+
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
@@ -471,8 +490,11 @@ def flash_backward(
             if bh % _flash._BH_BLOCK_OVERRIDE == 0:
                 bhb = _flash._BH_BLOCK_OVERRIDE
         else:
+            # 4 MB cap: measured best at bq=bkv=512 is bhb=4 (49.9 → 59.5
+            # TFLOP/s covered, logs/r3_exp2.jsonl D); bhb=8 there (8 MB of
+            # live score tiles) fails to compile on v5e.
             while (bhb < 8 and bh % (bhb * 2) == 0
-                   and bq * bkv * 4 * (bhb * 2) <= (2 << 20)):
+                   and bq * bkv * 4 * (bhb * 2) <= (4 << 20)):
                 bhb *= 2
     if bhb > 1:
         split = 1  # bh staging subsumes the sub-tile staging
