@@ -819,12 +819,19 @@ def _flash_fwd(
     # VMEM driver — keep bh_block · tile ≤ ~2 MB.
     bhb = 1
     if g == 1:
+        # band schedules carry little work per tile and are step-latency
+        # bound: allow deep packing (measured best: bq512/bkv1024/bhb8 =
+        # 2.24 ms sliding w=1025 @8k, logs/r2_exp5.jsonl E; the manual
+        # in-step DMA pipeline measured WORSE — r3_exp2 B). Dense/causal
+        # keep the conservative 2 MB cap.
+        cap = ((16 << 20) if isinstance(
+            sched, (LocalSchedule, CirculantSchedule)) else (2 << 20))
         if _BH_BLOCK_OVERRIDE is not None:
             if bh % _BH_BLOCK_OVERRIDE == 0:
                 bhb = _BH_BLOCK_OVERRIDE
         else:
             while (bhb < 8 and bh % (bhb * 2) == 0
-                   and bq * bkv * 4 * (bhb * 2) <= (2 << 20)):
+                   and bq * bkv * 4 * (bhb * 2) <= cap):
                 bhb *= 2
     if vmem_limit_mb is None and bq * bkv * 4 * bhb > (14 << 20) // 2:
         # forced-large packing: the live f32 score tiles alone approach the
@@ -1142,6 +1149,10 @@ def sliding_fa(q, k, v, window_size: int, *, scale=None, causal=False,
     """Sliding-window (local band) fused attention; block-skipping schedule."""
     if window_size % 2 != 1:
         raise ValueError("sliding window must be odd")
+    # band-optimal default tiles (measured r2 exp5 E / r3 exp2): dense's
+    # big defaults waste most of each band tile on masked keys
+    kw.setdefault("block_q", 512)
+    kw.setdefault("block_kv", 1024)
     q, k, v, spatial = _flatten_nd(q, k, v)
     out = flash_attention(
         q, k, v, schedule="local_causal" if causal else "local",
@@ -1160,6 +1171,8 @@ def circulant_fa(q, k, v, window_size: int, *, scale=None, return_lse=False, **k
     (no per-element gathers). 1D over the flattened sequence."""
     if window_size % 2 != 1:
         raise ValueError("circulant window must be odd")
+    kw.setdefault("block_q", 512)   # band-optimal tiles (see sliding_fa)
+    kw.setdefault("block_kv", 1024)
     q, k, v, spatial = _flatten_nd(q, k, v)
     out = flash_attention(
         q, k, v, schedule="circulant", radius=(window_size - 1) // 2,
