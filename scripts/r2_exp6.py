@@ -88,12 +88,18 @@ def main():
         dt, toks, _ = serve(params, prompts, max_new=16)
         row(tag="A.cold", s=round(dt, 3), toks=toks,
             tok_s=round(toks / dt, 1))
-        dt, toks, eng = serve(params, prompts, max_new=16,
-                              prefix_cache=True)
-        st = eng._pcache.stats()
-        row(tag="A.prefix_cache", s=round(dt, 3), toks=toks,
-            tok_s=round(toks / dt, 1), hits=st["hits"],
-            hit_tokens=st["hit_tokens"])
+        # run the prefix-cache serve TWICE: the first pays one-time jit
+        # compiles of the shared-admission/chunked-tail variants inside
+        # the timed region (the warmup request misses the cache, so it
+        # never exercises those paths); the second is the steady state a
+        # serving deployment sees.
+        for i in (1, 2):
+            dt, toks, eng = serve(params, prompts, max_new=16,
+                                  prefix_cache=True)
+            st = eng._pcache.stats()
+            row(tag=f"A.prefix_cache.run{i}", s=round(dt, 3), toks=toks,
+                tok_s=round(toks / dt, 1), hits=st["hits"],
+                hit_tokens=st["hit_tokens"])
 
     if which in ("all", "B"):
         log("=== B: speculative decoding, 2-layer draft ===")

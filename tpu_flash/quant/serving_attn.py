@@ -679,6 +679,10 @@ def serving_flash_attention(
         bound_max=bound_max, kv_split=kv_split, isolate=isolate,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
+    # large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20): the live
+    # f32 score tile alone approaches the 16 MB default scoped budget —
+    # raise it, as the bf16 path does (_flash_fwd).
+    vmem_bytes = (64 << 20) if bq * bkv * 4 > (14 << 20) // 2 else None
     o, lse = pl.pallas_call(
         kernel,
         grid=(bh, sched.num_q_blocks, sched.max_kv_steps),
@@ -694,6 +698,7 @@ def serving_flash_attention(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
     )(*operands, qf, k_vals, v_vals, sk, sv)
