@@ -402,8 +402,8 @@ def serving_flash_attention(
     shift: int = 0,
     wrap_n: int = 0,
     shifted_causal: bool = False,
-    block_q: int = 1024,
-    block_kv: int = 2048,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     pv_quant: bool = False,
     bound_max: Optional[bool] = None,
     kv_split: int = 1,
@@ -450,6 +450,15 @@ def serving_flash_attention(
     b, h, n_q, d = q.shape
     hkv, n_kv = kq.values.shape[1], kq.values.shape[2]
     dv = vq.values.shape[-1]
+    # Measured defaults (v5e, logs/r3_exp3.jsonl): at d=128 large Q blocks
+    # amortize the per-q-block K/V dequant/upcast (the fp8 headline's real
+    # cost — DESIGN §20): bq 1024→4096 moves fp8 155.5→169.1 TFLOP/s and
+    # int8 165.5→174.0. The d≤64 transposed layout measured best at
+    # 1024/2048 (logs/r3_exp1.jsonl).
+    if block_q is None:
+        block_q = 4096 if d > 64 else 1024
+    if block_kv is None:
+        block_kv = 2048
     if h % hkv:
         raise ValueError(f"q heads {h} not a multiple of kv heads {hkv}")
     if scale is None:
