@@ -140,6 +140,50 @@ def test_serving_kv_split(rng, q_dtype, kv_dtype, schedule):
         serving_flash_attention(q, kq, vq, kv_split=3, **kw)
 
 
+@pytest.mark.parametrize("q_dtype,kv_dtype", [
+    ("int8", "int8"),
+    ("float8_e4m3fn", "float8_e4m3fn"),
+])
+@pytest.mark.parametrize("schedule", ["dense", "causal"])
+def test_serving_bh_block(rng, q_dtype, kv_dtype, schedule):
+    """bh_block packs independent batch·head rows into one grid step and
+    software-pipelines them (row bb+1's MXU QKᵀ under row bb's VPU softmax
+    — the _fwd_kernel staging applied to the serving kernel). Each row's
+    math is untouched; only XLA's fusion/reassociation may differ, so
+    outputs match the unpacked kernel to f32 accumulation noise (int8's
+    integer QK dot measures bitwise-equal in practice)."""
+    q, k, v = _qkv(rng, 2, 2, 512, 64)
+    kq, vq = quantize_kv_cache(k, v, kv_dtype, kv_scale="token")
+    kw = dict(q_dtype=q_dtype, schedule=schedule, transposed=False,
+              block_q=128, block_kv=256)
+    o1 = serving_flash_attention(q, kq, vq, bh_block=1, **kw)
+    for bhb in (2, 4):
+        o2 = serving_flash_attention(q, kq, vq, bh_block=bhb, **kw)
+        np.testing.assert_allclose(
+            np.asarray(o1, np.float32), np.asarray(o2, np.float32),
+            atol=2e-3, rtol=1e-3,
+        )
+    with pytest.raises(ValueError):  # exclusive with kv_split
+        serving_flash_attention(q, kq, vq, bh_block=2, kv_split=2, **kw)
+    with pytest.raises(ValueError):  # MHA only
+        qg, kg, vg = _qkv(rng, 1, 4, 256, 64, hkv=2)
+        kqg, vqg = quantize_kv_cache(kg, vg, kv_dtype, kv_scale="token")
+        serving_flash_attention(
+            qg, kqg, vqg, bh_block=2, q_dtype=q_dtype, transposed=False,
+            block_q=128, block_kv=256)
+
+
+def test_serving_bh_block_lse(rng):
+    q, k, v = _qkv(rng, 2, 2, 256, 64)
+    kq, vq = quantize_kv_cache(k, v, "int8", kv_scale="token")
+    kw = dict(q_dtype="int8", transposed=False, return_lse=True, **_BLK)
+    o1, l1 = serving_flash_attention(q, kq, vq, bh_block=1, **kw)
+    o2, l2 = serving_flash_attention(q, kq, vq, bh_block=2, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o1, np.float32), np.asarray(o2, np.float32), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # transposed d≤64 layout (auto-dispatched): parity vs the standard kernel
 # ---------------------------------------------------------------------------

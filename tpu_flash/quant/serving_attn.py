@@ -68,6 +68,7 @@ def _sv_kernel(
     bound_max: bool = False,
     kv_split: int = 1,
     isolate: str = "",
+    bh_block: int = 1,
 ):
     # ``isolate`` is a DIAGNOSTIC knob (scripts/r3_exp2.py): it deletes one
     # VPU pass to measure its serial cost against the MXU chain — outputs
@@ -75,21 +76,29 @@ def _sv_kernel(
     # "nosum": the l (denominator) reduction is skipped; "dots": bare dot
     # chain (no softmax state at all). Floor analysis for the fp8 headline
     # (VERDICT r2 item 2) — see docs/DESIGN.md §15.
+    #
+    # ``bh_block`` > 1 packs several batch·head rows into one grid step and
+    # software-pipelines them exactly as ops/flash.py:_fwd_kernel: row
+    # bb+1's QKᵀ (MXU) is issued before row bb's exp2/PV chain (VPU), so
+    # the two units overlap across INDEPENDENT rows instead of serializing
+    # on the dot → exp2 → dot dependency within one row — the exposure that
+    # kv_split measurably failed to hide (DESIGN §20). MHA only (the packed
+    # rows must map 1:1 onto kv rows); mutually exclusive with kv_split.
     it = iter(refs)
-    kn_ref = next(it) if bound_max else None  # (1,8,bkv) scaled k̂ norms
+    kn_ref = next(it) if bound_max else None  # (bhb,8,bkv) scaled k̂ norms
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
-    sk_ref = next(it)           # (1,1,bkv) token scales OR (1,1,1) scalar
-    sv_ref = next(it)           # (1,1,dv) per-channel V scales
+    sk_ref = next(it)           # (bhb,1,bkv) token scales OR (bhb,1,1) scalar
+    sv_ref = next(it)           # (bhb,1,dv) per-channel V scales
     o_ref = next(it)
     lse_ref = next(it)
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
-    q_scr = next(it)            # (bq, d): bf16 dequantized q (fp8/raw) or int8 q̂
+    q_scr = next(it)            # (bhb,bq,d): bf16 deq q (fp8/raw) or int8 q̂
     qs_scr = next(it, None) if q_mode == "int8" else None
-    qb_scr = next(it, None) if bound_max else None  # (bq,_LANES) row bounds
+    qb_scr = next(it, None) if bound_max else None  # (bhb,bq,_LANES) bounds
 
     i = pl.program_id(1)
     s = pl.program_id(2)
@@ -101,39 +110,42 @@ def _sv_kernel(
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-        q = q_ref[0].astype(jnp.float32)
-        # per-(batch,head) K scale folds into the Q staging when not
-        # per-token — the score loop then has no dequant work at all.
-        sk_fold = 1.0 if k_scaled else sk_ref[0, 0, 0]
-        if q_mode == "fp8":
-            amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-            sq = jnp.maximum(amax, _EPS) / QMAX[jnp.dtype(jnp.float8_e4m3fn)]
-            q8 = (q / sq).astype(jnp.float8_e4m3fn)
-            qd = _fp8_upcast(q8).astype(jnp.float32) * (
-                sq * (scale * LOG2E) * sk_fold
-            )
-            q_scr[...] = qd.astype(jnp.bfloat16)
-        elif q_mode == "int8":
-            amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-            sq = jnp.maximum(amax, _EPS) / 127.0
-            q_scr[...] = jnp.clip(
-                jnp.round(q / sq), -127, 127
-            ).astype(jnp.int8)
-            qs_scr[...] = jnp.broadcast_to(
-                sq * (scale * LOG2E) * sk_fold, qs_scr.shape
-            )
-        else:
-            q_scr[...] = (q * (scale * LOG2E * sk_fold)).astype(jnp.bfloat16)
-        if bound_max:
-            # Cauchy-Schwarz row bound on the kernel's score operand: any
-            # upper bound keeps online softmax exact (an exponent shift);
-            # this deletes the per-step score-tile max — the costliest VPU
-            # pass when the MXU runs int8 (docs/DESIGN.md §10/§11).
-            qop = q_scr[...].astype(jnp.float32)
-            qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
-            if q_mode == "int8":
-                qb = qb * qs_scr[:, :1]
-            qb_scr[...] = jnp.broadcast_to(qb, qb_scr.shape)
+        for bb in range(bh_block):
+            q = q_ref[bb].astype(jnp.float32)
+            # per-(batch,head) K scale folds into the Q staging when not
+            # per-token — the score loop then has no dequant work at all.
+            sk_fold = 1.0 if k_scaled else sk_ref[bb, 0, 0]
+            if q_mode == "fp8":
+                amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                sq = jnp.maximum(amax, _EPS) / QMAX[
+                    jnp.dtype(jnp.float8_e4m3fn)]
+                q8 = (q / sq).astype(jnp.float8_e4m3fn)
+                qd = _fp8_upcast(q8).astype(jnp.float32) * (
+                    sq * (scale * LOG2E) * sk_fold
+                )
+                q_scr[bb] = qd.astype(jnp.bfloat16)
+            elif q_mode == "int8":
+                amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                sq = jnp.maximum(amax, _EPS) / 127.0
+                q_scr[bb] = jnp.clip(
+                    jnp.round(q / sq), -127, 127
+                ).astype(jnp.int8)
+                qs_scr[bb] = jnp.broadcast_to(
+                    sq * (scale * LOG2E) * sk_fold, qs_scr.shape[1:]
+                )
+            else:
+                q_scr[bb] = (
+                    q * (scale * LOG2E * sk_fold)).astype(jnp.bfloat16)
+            if bound_max:
+                # Cauchy-Schwarz row bound on the kernel's score operand:
+                # any upper bound keeps online softmax exact (an exponent
+                # shift); this deletes the per-step score-tile max — the
+                # costliest VPU pass when the MXU runs int8 (DESIGN §10/§11).
+                qop = q_scr[bb].astype(jnp.float32)
+                qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
+                if q_mode == "int8":
+                    qb = qb * qs_scr[bb, :, :1]
+                qb_scr[bb] = jnp.broadcast_to(qb, qb_scr.shape[1:])
 
     def _apply_mask(sij, off, w):
         kv_idx = sched.kv_block_index(i, s)
@@ -147,14 +159,14 @@ def _sv_kernel(
 
     csz = bkv // kv_split  # sub-tile width along kv
 
-    def _qk(j):
-        """Score sub-tile j: (bq, csz) — pure value, no scratch writes."""
-        k = k_ref[0, j * csz:(j + 1) * csz]
+    def _qk(j, bb=0):
+        """Score sub-tile j of row bb: (bq, csz) — pure value, no writes."""
+        k = k_ref[bb, j * csz:(j + 1) * csz]
         if q_mode == "int8":
             raw = lax.dot_general(
-                q_scr[...], k, _NT_DIMS, preferred_element_type=jnp.int32
+                q_scr[bb], k, _NT_DIMS, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
-            sij = raw * qs_scr[:, :1]
+            sij = raw * qs_scr[bb, :, :1]
         else:
             if fp8_kv:
                 kf = _fp8_upcast(k)
@@ -163,15 +175,15 @@ def _sv_kernel(
             else:
                 kf = k
             sij = lax.dot_general(
-                q_scr[...], kf, _NT_DIMS, preferred_element_type=jnp.float32
+                q_scr[bb], kf, _NT_DIMS, preferred_element_type=jnp.float32
             )
         if k_scaled:
-            sij = sij * sk_ref[0, 0, j * csz:(j + 1) * csz].reshape(1, csz)
+            sij = sij * sk_ref[bb, 0, j * csz:(j + 1) * csz].reshape(1, csz)
         return sij
 
-    def _pv(p, j):
+    def _pv(p, j, bb=0):
         """P·V for sub-tile j against V rows [j·csz, (j+1)·csz)."""
-        v = v_ref[0, j * csz:(j + 1) * csz]
+        v = v_ref[bb, j * csz:(j + 1) * csz]
         if pv_quant:
             # P ∈ [0, 1] after the base-2 exp (every element ≤ the running
             # max's exp2(0) = 1), so a STATIC ×127 scale quantizes it with
@@ -190,31 +202,25 @@ def _sv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    def _update(masked):
-        # kv_split > 1 breaks the step's kv tile into sub-tiles whose
-        # exp2/PV chains are mutually independent once m_next is known
-        # (immediately under bound_max; after the cheap per-sub-tile maxes
-        # otherwise), so the MXU dot of sub-tile j+1 can run under the VPU
-        # softmax of sub-tile j instead of the whole dot → exp2 → dot
-        # chain serializing (the kernel is VPU-bound, DESIGN §11). All
-        # QK dots are staged as pure values before any exp2 is consumed;
-        # scratch is read/written exactly once per step.
-        sijs = [_qk(j) for j in range(kv_split)]
+    def _merge(sijs, bb, masked):
+        """Online-softmax merge + PV for row ``bb`` given its staged score
+        sub-tiles (pure values — every MXU dot feeding this was issued
+        before any of its VPU work is consumed)."""
         if masked:
             sijs = [_apply_mask(sij, j * csz, csz) for j, sij in
                     enumerate(sijs)]
         if isolate == "dots":
-            acc = acc_scr[...]
+            acc = acc_scr[bb]
             for j, sij in enumerate(sijs):
-                acc = acc + _pv(sij * (1.0 / 4096.0), j)
-            acc_scr[...] = acc
-            l_scr[...] = jnp.ones_like(l_scr)
+                acc = acc + _pv(sij * (1.0 / 4096.0), j, bb)
+            acc_scr[bb] = acc
+            l_scr[bb] = jnp.ones_like(l_scr[bb])
             return
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
+        m_prev = m_scr[bb, :, :1]
+        l_prev = l_scr[bb, :, :1]
         if bound_max:
-            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
-            m_curr = qb_scr[:, :1] * kmax
+            kmax = jnp.max(kn_ref[bb][:1]) * 1.0001  # fp-rounding margin
+            m_curr = qb_scr[bb, :, :1] * kmax
         else:
             m_curr = jnp.max(sijs[0], axis=-1, keepdims=True)
             for sij in sijs[1:]:
@@ -232,12 +238,29 @@ def _sv_kernel(
         else:
             for p in ps:
                 l_next = l_next + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-        acc = acc_scr[...] * alpha
+        m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        l_scr[bb] = jnp.broadcast_to(l_next, l_scr.shape[1:])
+        acc = acc_scr[bb] * alpha
         for j, p in enumerate(ps):
-            acc = acc + _pv(p, j)
-        acc_scr[...] = acc
+            acc = acc + _pv(p, j, bb)
+        acc_scr[bb] = acc
+
+    def _update(masked):
+        # Two alternative stagings of MXU work ahead of VPU work:
+        #  - kv_split > 1 (bh_block == 1): the step's kv tile is split into
+        #    sub-tiles; all QK dots are staged before any exp2 runs.
+        #  - bh_block > 1 (kv_split == 1): row bb+1's QKᵀ is issued before
+        #    row bb's softmax/PV chain — independent ROWS overlap, the
+        #    pattern that works for the bf16 kernel (_fwd_kernel).
+        if bh_block == 1:
+            _merge([_qk(j) for j in range(kv_split)], 0, masked)
+            return
+        s_next = _qk(0, 0)
+        for bb in range(bh_block):
+            sij = s_next
+            if bb + 1 < bh_block:
+                s_next = _qk(0, bb + 1)
+            _merge([sij], bb, masked)
 
     @pl.when(sched.step_needed(i, s))
     def _step():
@@ -252,17 +275,19 @@ def _sv_kernel(
 
     @pl.when(s == num_steps - 1)
     def _finish():
-        l = l_scr[:, :1]
-        m = m_scr[:, :1]
-        valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
-        l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
-        acc = acc_scr[...] * l_inv * sv_ref[0, 0].reshape(1, -1)
-        o_ref[0] = acc.astype(o_ref.dtype)
-        if need_lse:
-            lse = jnp.where(
-                valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)), -jnp.inf
-            )
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        for bb in range(bh_block):
+            l = l_scr[bb, :, :1]
+            m = m_scr[bb, :, :1]
+            valid = (l > 0.0) & (m > DEFAULT_MASK_VALUE * 0.5)
+            l_inv = jnp.where(valid, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+            acc = acc_scr[bb] * l_inv * sv_ref[bb, 0].reshape(1, -1)
+            o_ref[bb] = acc.astype(o_ref.dtype)
+            if need_lse:
+                lse = jnp.where(
+                    valid, m * LN2 + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                    -jnp.inf,
+                )
+                lse_ref[bb] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _sv_kernel_t(
@@ -407,6 +432,7 @@ def serving_flash_attention(
     pv_quant: bool = False,
     bound_max: Optional[bool] = None,
     kv_split: int = 1,
+    bh_block: Optional[int] = None,
     transposed: Optional[bool] = None,
     isolate: str = "",
     return_lse: bool = False,
@@ -496,6 +522,17 @@ def serving_flash_attention(
     bq, bkv = sched.block_q, sched.block_kv
     bh, bh_kv = b * h, b * hkv
     g = h // hkv
+    if bh_block is None:
+        bh_block = 1
+    if bh_block > 1:
+        if g != 1:
+            raise ValueError("bh_block > 1 requires MHA (hkv == h)")
+        if kv_split != 1:
+            raise ValueError("bh_block and kv_split are exclusive stagings")
+        if isolate:
+            raise ValueError("isolate is a bh_block == 1 diagnostic")
+        if bh % bh_block:
+            raise ValueError(f"batch*heads {bh} not divisible by {bh_block}")
 
     qf = _pad_seq(q.reshape(bh, n_q, d), sched.n_q_pad)
     k_vals = _pad_seq(kq.values.reshape(bh_kv, n_kv, d), sched.n_kv_pad)
@@ -517,7 +554,9 @@ def serving_flash_attention(
 
     if transposed is None:
         transposed = (d <= 64 and dv <= 64 and not pv_quant
-                      and kv_split == 1 and not isolate)
+                      and kv_split == 1 and bh_block == 1 and not isolate)
+    if transposed and bh_block > 1:
+        raise ValueError("bh_block is a standard-layout knob")
     if transposed:
         if pv_quant:
             raise ValueError("pv_quant requires the standard layout")
@@ -635,6 +674,7 @@ def serving_flash_attention(
             return o, lse[:, 0, :n_q].reshape(b, h, n_q)
         return o
 
+    bhb = bh_block
     operands = []
     in_specs = []
     if bound_max:
@@ -643,39 +683,40 @@ def serving_flash_attention(
         operands.append(jnp.broadcast_to(
             kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)))
         in_specs.append(pl.BlockSpec(
-            (1, 8, bkv),
+            (bhb, 8, bkv),
             lambda bb, i, s, _s=sched: (kv_row(bb), 0, _s.kv_block_index(i, s)),
         ))
 
     in_specs += [
-        pl.BlockSpec((1, bq, d), lambda bb, i, s: (bb, i, 0)),
-        pl.BlockSpec((1, bkv, d), kv_map),
-        pl.BlockSpec((1, bkv, dv), kv_map),
+        pl.BlockSpec((bhb, bq, d), lambda bb, i, s: (bb, i, 0)),
+        pl.BlockSpec((bhb, bkv, d), kv_map),
+        pl.BlockSpec((bhb, bkv, dv), kv_map),
         (pl.BlockSpec(
-            (1, 1, bkv),
+            (bhb, 1, bkv),
             lambda bb, i, s, _s=sched: (kv_row(bb), 0, _s.kv_block_index(i, s)),
         ) if k_scaled else
-         pl.BlockSpec((1, 1, 1), lambda bb, i, s: (kv_row(bb), 0, 0))),
-        pl.BlockSpec((1, 1, dv), lambda bb, i, s: (kv_row(bb), 0, 0)),
+         pl.BlockSpec((bhb, 1, 1), lambda bb, i, s: (kv_row(bb), 0, 0))),
+        pl.BlockSpec((bhb, 1, dv), lambda bb, i, s: (kv_row(bb), 0, 0)),
     ]
     if return_lse:
-        lse_spec = pl.BlockSpec((1, bq, _LANES), lambda bb, i, s: (bb, i, 0))
+        lse_spec = pl.BlockSpec((bhb, bq, _LANES), lambda bb, i, s: (bb, i, 0))
         lse_shape = jax.ShapeDtypeStruct(
             (bh, sched.n_q_pad, _LANES), jnp.float32)
     else:
-        lse_spec = pl.BlockSpec((1, 1, _LANES), lambda bb, i, s: (bb, 0, 0))
+        lse_spec = pl.BlockSpec((bhb, 1, _LANES), lambda bb, i, s: (bb, 0, 0))
         lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
 
     scratch = [
-        pltpu.VMEM((bq, _LANES), jnp.float32),
-        pltpu.VMEM((bq, _LANES), jnp.float32),
-        pltpu.VMEM((bq, dv), jnp.float32),
-        pltpu.VMEM((bq, d), jnp.int8 if q_mode == "int8" else jnp.bfloat16),
+        pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+        pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
+        pltpu.VMEM((bhb, bq, dv), jnp.float32),
+        pltpu.VMEM(
+            (bhb, bq, d), jnp.int8 if q_mode == "int8" else jnp.bfloat16),
     ]
     if q_mode == "int8":
-        scratch.append(pltpu.VMEM((bq, _LANES), jnp.float32))
+        scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
     if bound_max:
-        scratch.append(pltpu.VMEM((bq, _LANES), jnp.float32))
+        scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
 
     if kv_split < 1 or bkv % kv_split or (bkv // kv_split) % 128:
         raise ValueError(
@@ -686,18 +727,20 @@ def serving_flash_attention(
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
         need_lse=return_lse, scale=scale, pv_quant=pv_quant,
         bound_max=bound_max, kv_split=kv_split, isolate=isolate,
+        bh_block=bhb,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
-    # large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20): the live
-    # f32 score tile alone approaches the 16 MB default scoped budget —
-    # raise it, as the bf16 path does (_flash_fwd).
-    vmem_bytes = (64 << 20) if bq * bkv * 4 > (14 << 20) // 2 else None
+    # large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20) or packed
+    # bh rows: the live f32 score tiles alone approach the 16 MB default
+    # scoped budget — raise it, as the bf16 path does (_flash_fwd).
+    vmem_bytes = (
+        (64 << 20) if bhb * bq * bkv * 4 > (14 << 20) // 2 else None)
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh, sched.num_q_blocks, sched.max_kv_steps),
+        grid=(bh // bhb, sched.num_q_blocks, sched.max_kv_steps),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, bq, dv), lambda bb, i, s: (bb, i, 0)),
+            pl.BlockSpec((bhb, bq, dv), lambda bb, i, s: (bb, i, 0)),
             lse_spec,
         ],
         out_shape=[
