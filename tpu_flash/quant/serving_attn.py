@@ -733,8 +733,14 @@ def serving_flash_attention(
     # large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20) or packed
     # bh rows: the live f32 score tiles alone approach the 16 MB default
     # scoped budget — raise it, as the bf16 path does (_flash_fwd).
-    vmem_bytes = (
-        (64 << 20) if bhb * bq * bkv * 4 > (14 << 20) // 2 else None)
+    score_bytes = bhb * bq * bkv * 4
+    vmem_bytes = None
+    if score_bytes > (14 << 20) // 2:
+        # 64 MB covers score tiles ≤32 MB (the shipped bq4096/bkv2048);
+        # the v5e has 128 MB of VMEM, so the very largest packings
+        # (bhb·bq·bkv·4 up to 64 MB) get 96 MB and still leave the
+        # compiler headroom for its own staging buffers.
+        vmem_bytes = (64 << 20) if score_bytes <= (32 << 20) else (96 << 20)
     o, lse = pl.pallas_call(
         kernel,
         grid=(bh // bhb, sched.num_q_blocks, sched.max_kv_steps),
