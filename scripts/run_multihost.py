@@ -27,12 +27,41 @@ def main() -> None:
     ap.add_argument("mode", choices=["train", "bench"], nargs="?",
                     default="train")
     ap.add_argument("--steps", type=int, default=3)
+    # Explicit-cluster flags: TPU pods auto-discover the topology, but a
+    # local CPU cluster (tests/test_multihost.py — 2 real processes over
+    # gloo) passes the coordinator triple and a virtual device count.
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (default: auto-detect)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--cpu-devices", type=int, default=0,
+                    help="force the CPU backend with N virtual devices "
+                         "per process (multi-process smoke tests)")
     args = ap.parse_args()
+
+    if args.cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                f"{args.cpu_devices}").strip()
 
     import jax
 
+    if args.cpu_devices:
+        # the axon PJRT plugin ignores JAX_PLATFORMS; pin via config
+        # before the first backend init
+        jax.config.update("jax_platforms", "cpu")
+
     try:
-        jax.distributed.initialize()  # no-op-ish on single host
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()  # no-op-ish on single host
     except Exception as e:  # noqa: BLE001 — single-host fallback
         print(f"jax.distributed.initialize skipped: {e}", file=sys.stderr)
 

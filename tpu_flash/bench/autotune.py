@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_flash.bench.harness import device_peaks, time_fn
+from tpu_flash.ops.vmem import VmemInfeasibleError
 
 _DEFAULT_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -103,6 +104,13 @@ def tune_attention_blocks(
                 ))
                 with force_bh_block(bhb):
                     t = time_fn(fn, q, k, v, iters=iters)
+            except VmemInfeasibleError:
+                # predicted before lowering (ops/vmem.py) — zero queue
+                # time wasted; record the prune so the table shows WHY
+                # the candidate is absent rather than silently skipping.
+                results[f"{bq}x{bkv}" + (f"xbh{bhb}" if bhb else "")] = (
+                    "pruned: vmem")
+                continue
             except Exception:  # noqa: BLE001 — invalid configs just lose
                 continue
             results[f"{bq}x{bkv}" + (f"xbh{bhb}" if bhb else "")] = round(

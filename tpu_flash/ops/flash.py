@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.ops import schedule as sched_lib
+from tpu_flash.ops.vmem import estimate_fwd_vmem
 from tpu_flash.ops.schedule import (
     BlockDiagonalSchedule,
     CausalSchedule,
@@ -94,6 +95,44 @@ def band_pipeline(on: Optional[bool], sub: Optional[int] = None):
         _BAND_PIPELINE, _BAND_SUB = prev, prev_sub
 
 
+_ISOLATE = ""
+
+# None = schedule-based auto (see _flash_fwd); True/False = forced.
+_BOUND_MAX_OVERRIDE: Optional[bool] = None
+
+
+@contextlib.contextmanager
+def force_bound_max(on: Optional[bool]):
+    """Force the bf16 forward's norm-bound running max on/off (None =
+    auto). The bound replaces the per-step score max with the constant
+    Cauchy-Schwarz bound |q_i|·max_j|k_j| computed once per q block —
+    exact online softmax under ANY upper bound (exponent shift), and with
+    a CONSTANT m the alpha-rescale chain vanishes too. Measured for the
+    band kernel in scripts/r4_exp4.py (the serving kernel's bound_max
+    measured int8 148→167 TFLOP/s, DESIGN §10)."""
+    global _BOUND_MAX_OVERRIDE
+    prev = _BOUND_MAX_OVERRIDE
+    _BOUND_MAX_OVERRIDE = on
+    try:
+        yield
+    finally:
+        _BOUND_MAX_OVERRIDE = prev
+
+
+@contextlib.contextmanager
+def force_isolate(mode: str):
+    """Run the standard forward kernel with one pass deleted — outputs are
+    WRONG; measurement only (scripts/r4_exp4.py band floor decomposition).
+    ``mode`` ∈ {"", "noexp", "nosum", "dots", "nomask"}."""
+    global _ISOLATE
+    prev = _ISOLATE
+    _ISOLATE = mode
+    try:
+        yield
+    finally:
+        _ISOLATE = prev
+
+
 @contextlib.contextmanager
 def force_bh_block(n: Optional[int]):
     """Force the forward kernels' batch-head packing to ``n`` (MHA only;
@@ -124,20 +163,46 @@ def _fwd_kernel(
     need_lse: bool = True,
     use_bias: bool = False,
     bh_block: int = 1,
+    isolate: str = "",
+    bound_max: bool = False,
 ):
+    # ``isolate`` is a DIAGNOSTIC knob (scripts/r4_exp4.py): it deletes one
+    # pass so its serial cost can be measured against the rest — outputs
+    # are WRONG under it. Values: "noexp" (per-element exp2 becomes a
+    # subtract), "nosum" (the l reduction is skipped), "dots" (bare dot
+    # chain, no softmax state), "nomask" (edge-tile mask/bias work
+    # skipped — scores used as if interior). The band-kernel floor
+    # decomposition the r3 verdict asked for (VERDICT r3 item 3), matching
+    # quant/serving_attn.py's dense-kernel isolate (DESIGN §20).
+    #
+    # ``bound_max``: the running max is replaced by the CONSTANT bound
+    # |q_i|·(max_j |k_j|) set at init — exact online softmax under any
+    # upper bound; with m constant, alpha ≡ 1 and the per-step max pass
+    # AND the acc-rescale chain both vanish (the band kernel's two
+    # largest VPU terms after the dot floor — r4_exp4 decomposition).
     if use_bias:
-        (bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
-         acc_scr) = refs
+        bias_ref, *refs = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
         bias_ref = None
+    if bound_max:
+        kmx_ref, *refs = refs  # (bhb, 1, 1) per-row global ‖k‖ max
+    else:
+        kmx_ref = None
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
 
     @pl.when(s == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        if bound_max:
+            for bb in range(bh_block):
+                q = q_ref[bb].astype(jnp.float32)
+                qb = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+                m_scr[bb] = jnp.broadcast_to(
+                    qb * (kmx_ref[bb, 0, 0] * 1.0001), m_scr.shape[1:])
+        else:
+            m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
@@ -151,16 +216,38 @@ def _fwd_kernel(
         return sij
 
     def _update(sij, bb):
+        if isolate == "dots":
+            pv = lax.dot_general(
+                (sij * (1.0 / 4096.0)).astype(v_ref.dtype), v_ref[bb],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[bb] = acc_scr[bb] + pv
+            l_scr[bb] = jnp.ones_like(l_scr[bb])
+            return
         m_prev = m_scr[bb, :, :1]
         l_prev = l_scr[bb, :, :1]
-        m_curr = jnp.max(sij, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        # scores are in base-2 units (q pre-scaled by scale*log2e), so the
-        # hot exp is a bare exp2; l is identical to the natural-units value.
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(sij - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        if bound_max:
+            # constant bound: no per-step max, alpha ≡ 1, no rescale
+            m_next = m_prev
+            alpha = None
+        else:
+            m_curr = jnp.max(sij, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            # scores are in base-2 units (q pre-scaled by scale*log2e), so
+            # the hot exp is a bare exp2; l equals the natural-units value.
+            alpha = jnp.exp2(m_prev - m_next)
+        if isolate == "noexp":
+            p = (sij - m_next) * (1.0 / 4096.0)
+        else:
+            p = jnp.exp2(sij - m_next)
+        l_sum = (1.0 if isolate == "nosum"
+                 else jnp.sum(p, axis=-1, keepdims=True))
+        if bound_max:
+            l_next = l_prev + l_sum
+        else:
+            l_next = alpha * l_prev + l_sum
+            m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
         l_scr[bb] = jnp.broadcast_to(l_next, l_scr.shape[1:])
         pv = lax.dot_general(
             p.astype(v_ref.dtype),
@@ -168,7 +255,8 @@ def _fwd_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_scr[bb] = acc_scr[bb] * alpha + pv
+        acc_scr[bb] = (pv + (acc_scr[bb] if bound_max
+                             else acc_scr[bb] * alpha))
 
     def _masked_scores(sij):
         if use_bias:
@@ -207,8 +295,9 @@ def _fwd_kernel(
                     s_next = _qk(bb + 1)
                 _update(_masked_scores(sij) if masked else sij, bb)
 
-        if not sched.has_mask or unm is True:
-            # statically mask-free (dense / full-section block-diag)
+        if not sched.has_mask or unm is True or isolate == "nomask":
+            # statically mask-free (dense / full-section block-diag) — or
+            # the mask/bias pass deleted for floor measurement ("nomask")
             _run(False)
         elif unm is None:
             _run(True)
@@ -822,10 +911,13 @@ def _flash_fwd(
         # band schedules carry little work per tile and are step-latency
         # bound: allow deep packing (measured best: bq512/bkv1024/bhb8 =
         # 2.24 ms sliding w=1025 @8k, logs/r2_exp5.jsonl E; the manual
-        # in-step DMA pipeline measured WORSE — r3_exp2 B). Dense/causal
-        # keep the conservative 2 MB cap.
-        cap = ((16 << 20) if isinstance(
-            sched, (LocalSchedule, CirculantSchedule)) else (2 << 20))
+        # in-step DMA pipeline measured WORSE — r3_exp2 B). Mask-free
+        # dense also wins with deep packing at square tiles (bhb4 at
+        # 1024x1024 = 169.3 vs 159.0 TFLOP/s, logs/r4_exp3.jsonl) — the
+        # VMEM model prunes over-packed combinations. Masked causal keeps
+        # the conservative 2 MB cap (unmeasured at deep packing).
+        cap = ((16 << 20) if (not sched.has_mask or isinstance(
+            sched, (LocalSchedule, CirculantSchedule))) else (2 << 20))
         if _BH_BLOCK_OVERRIDE is not None:
             if bh % _BH_BLOCK_OVERRIDE == 0:
                 bhb = _BH_BLOCK_OVERRIDE
@@ -833,15 +925,32 @@ def _flash_fwd(
             while (bhb < 8 and bh % (bhb * 2) == 0
                    and bq * bkv * 4 * (bhb * 2) <= cap):
                 bhb *= 2
-    if vmem_limit_mb is None and bq * bkv * 4 * bhb > (14 << 20) // 2:
-        # forced-large packing: the live f32 score tiles alone approach the
-        # 16 MB default scoped budget; raise it (measured free, DESIGN §12)
-        vmem_limit_mb = 64
+    # Size the scoped grant to the modeled demand and refuse configs past
+    # the VMEM envelope before lowering (VERDICT r3 item 2; ops/vmem.py).
+    est = estimate_fwd_vmem(
+        block_q=bq, block_kv=bkv, d=d, dv=dv, bh_block=bhb,
+        kv_bytes=jnp.dtype(k.dtype).itemsize, masked=sched.has_mask,
+        has_bias_operand=bias is not None, need_lse=need_lse,
+    ).check()
+    if vmem_limit_mb is None and est.grant_bytes is not None:
+        vmem_limit_mb = est.grant_bytes >> 20
     grid = (bh // bhb, sched.num_q_blocks, num_steps)
+
+    bound_max = _BOUND_MAX_OVERRIDE
+    if bound_max is None:
+        # Measured auto-default (logs/r4_exp4.jsonl): the constant-bound
+        # max deletes the band kernel's max+rescale VPU chain; dense is
+        # MXU-bound at big tiles and keeps the exact running max.
+        bound_max = isinstance(sched, (LocalSchedule, CirculantSchedule))
+    kmx = None
+    if bound_max:
+        kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
+        kmx = jnp.sqrt(jnp.max(kn2, axis=-1)).reshape(k.shape[0], 1, 1)
 
     kernel = functools.partial(
         _fwd_kernel, sched=sched, num_steps=num_steps, need_lse=need_lse,
-        use_bias=bias is not None, bh_block=bhb,
+        use_bias=bias is not None, bh_block=bhb, isolate=_ISOLATE,
+        bound_max=bound_max,
     )
 
     if need_lse:
@@ -854,10 +963,17 @@ def _flash_fwd(
 
     elem = {jnp.dtype(jnp.float32): 4}.get(jnp.dtype(q.dtype), 2)
     flops = 4 * sched.n_q * sched.kv_len * (d + dv) // 2 * bh
+    # block-unit index: bhb == 1 goes through the GQA row map; bhb > 1
+    # implies MHA (kv rows ≡ q rows), where block b covers rows
+    # [b·bhb, (b+1)·bhb)
+    kmx_specs = [] if kmx is None else [pl.BlockSpec(
+        (bhb, 1, 1),
+        lambda b, i, s: ((kv_row(b) if bhb == 1 else b), 0, 0),
+    )]
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=([bias_spec] if bias is not None else []) + [
+        in_specs=([bias_spec] if bias is not None else []) + kmx_specs + [
             pl.BlockSpec((bhb, bq, d), lambda b, i, s: (b, i, 0)),
             pl.BlockSpec(
                 (bhb, bkv, d),
@@ -891,7 +1007,8 @@ def _flash_fwd(
             transcendentals=sched.n_q * sched.kv_len,
         ),
         interpret=interpret,
-    )(*(() if bias is None else (bias,)), q, k, v)
+    )(*(() if bias is None else (bias,)),
+      *(() if kmx is None else (kmx,)), q, k, v)
     if not need_lse:
         return o, jnp.zeros((bh, nq_pad), jnp.float32)
     return o, lse[..., 0]
@@ -1025,8 +1142,8 @@ def flash_attention(
     shift: int = 0,
     wrap_n: int = 0,
     shifted_causal: bool = False,
-    block_q: int = 1024,
-    block_kv: int = 2048,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
     q_dtype=None,
@@ -1056,6 +1173,15 @@ def flash_attention(
     hq, hkv = q.shape[1], k.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
+    # Measured defaults (v5e, logs/r4_exp3.jsonl): mask-free dense runs
+    # best at square 1024x1024 tiles with deep bh packing (169.3 vs 159.0
+    # TFLOP/s @8k d=128, 176.0 vs 157.3 @32k); every other schedule keeps
+    # the r2/r3-measured 1024/2048.
+    if block_q is None:
+        block_q = 1024
+    if block_kv is None:
+        block_kv = 1024 if schedule == "dense" and q_dtype is None \
+            and kv_dtype is None else 2048
     if q_dtype is not None or kv_dtype is not None:
         # Quantized route: every schedule and N-d wrapper gains FP8/INT8
         # through this one dispatch (kv_dtype alone = weight-only mode).

@@ -23,6 +23,7 @@ application needed beyond the forward's.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -50,6 +51,25 @@ DEFAULT_SPLIT = 1
 _NT = (((1,), (1,)), ((), ()))  # (m,d)x(n,d) -> (m,n)
 _NN = (((1,), (0,)), ((), ()))  # (m,k)x(k,n) -> (m,n)
 _TN = (((0,), (0,)), ((), ()))  # (k,m)x(k,n) -> (m,n)
+
+# Diagnostic: run only one of the two backward kernels (the other grad
+# returns zeros) so each kernel's wall cost can be measured separately —
+# the dq-vs-dkv floor decomposition VERDICT r3 item 4 asked for.
+_BWD_PARTS = "both"
+
+
+@contextlib.contextmanager
+def force_bwd_parts(parts: str):
+    """``parts`` ∈ {"both", "dq", "dkv"}. Outputs are WRONG under "dq"/
+    "dkv" (the skipped grads are zeros) — measurement only
+    (scripts/r4_exp6.py)."""
+    global _BWD_PARTS
+    prev = _BWD_PARTS
+    _BWD_PARTS = parts
+    try:
+        yield
+    finally:
+        _BWD_PARTS = prev
 
 
 def _dq_kernel(
@@ -485,23 +505,28 @@ def flash_backward(
     from tpu_flash.ops import flash as _flash
 
     bhb = 1
-    if sched.has_mask:  # band/causal schedules; dense stays unpacked
-        if _flash._BH_BLOCK_OVERRIDE is not None:
-            if bh % _flash._BH_BLOCK_OVERRIDE == 0:
-                bhb = _flash._BH_BLOCK_OVERRIDE
-        else:
-            # 4 MB cap: measured best at bq=bkv=512 is bhb=4 (49.9 → 59.5
-            # TFLOP/s covered, logs/r3_exp2.jsonl D); bhb=8 there (8 MB of
-            # live score tiles) fails to compile on v5e.
-            while (bhb < 8 and bh % (bhb * 2) == 0
-                   and bq * bkv * 4 * (bhb * 2) <= (4 << 20)):
-                bhb *= 2
+    if _flash._BH_BLOCK_OVERRIDE is not None:
+        # experiment override: honored for every schedule (dense included —
+        # the r4 backward sweep probes dense packing the way r4_exp3 did
+        # for the forward)
+        if bh % _flash._BH_BLOCK_OVERRIDE == 0:
+            bhb = _flash._BH_BLOCK_OVERRIDE
+    elif sched.has_mask:  # band/causal schedules; dense auto stays unpacked
+        # 4 MB cap: measured best at bq=bkv=512 is bhb=4 (49.9 → 59.5
+        # TFLOP/s covered, logs/r3_exp2.jsonl D); bhb=8 there (8 MB of
+        # live score tiles) fails to compile on v5e.
+        while (bhb < 8 and bh % (bhb * 2) == 0
+               and bq * bkv * 4 * (bhb * 2) <= (4 << 20)):
+            bhb *= 2
     if bhb > 1:
         split = 1  # bh staging subsumes the sub-tile staging
 
     # ---- dQ: Q-major grid, forward schedule.
     dq_steps = sched.max_kv_steps
-    dq = pl.pallas_call(
+    if _BWD_PARTS in ("dkv", "none"):
+        dq = jnp.zeros((bh, nq_pad, d), q.dtype)
+    else:
+        dq = pl.pallas_call(
         functools.partial(_dq_kernel, sched=sched, num_steps=dq_steps,
                           split=split, bh_block=bhb),
         grid=(bh // bhb, num_q_blocks, dq_steps),
@@ -531,7 +556,11 @@ def flash_backward(
 
     # ---- dK/dV: KV-major grid, transposed schedule.
     dkv_steps = sched.max_q_steps
-    dk, dv = pl.pallas_call(
+    if _BWD_PARTS in ("dq", "none"):
+        dk = jnp.zeros((bh, nkv_pad, d), k.dtype)
+        dv = jnp.zeros((bh, nkv_pad, dv_dim), v.dtype)
+    else:
+        dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sched=sched, num_steps=dkv_steps,
                           split=split, bh_block=bhb),
         grid=(bh // bhb, num_kv_blocks, dkv_steps),

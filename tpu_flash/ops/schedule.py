@@ -163,7 +163,10 @@ class Schedule:
         # inside a jit trace, where jnp ops on constants would be staged
         # as tracers) and on the CPU backend (eager ops would otherwise
         # round-trip the TPU tunnel per tile, ~30 ms each).
-        cpu = _jax.devices("cpu")[0]
+        # local_devices, not devices: under a multi-process launch the
+        # first GLOBAL cpu device belongs to process 0 and is
+        # non-addressable from other ranks (tests/test_multihost.py).
+        cpu = _jax.local_devices(backend="cpu")[0]
         try:
             with _jax.ensure_compile_time_eval(), _jax.default_device(cpu):
                 offs = set()

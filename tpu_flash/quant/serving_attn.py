@@ -48,6 +48,7 @@ from tpu_flash.ops.flash import (
     build_schedule,
 )
 from tpu_flash.ops.schedule import Schedule
+from tpu_flash.ops.vmem import estimate_fwd_vmem
 from tpu_flash.quant.flash_q import _fp8_upcast, _pad_scales, scaled_k_norms
 from tpu_flash.quant.qarray import QMAX, QArray
 
@@ -69,6 +70,7 @@ def _sv_kernel(
     kv_split: int = 1,
     isolate: str = "",
     bh_block: int = 1,
+    kv_resident: bool = False,
 ):
     # ``isolate`` is a DIAGNOSTIC knob (scripts/r3_exp2.py): it deletes one
     # VPU pass to measure its serial cost against the MXU chain — outputs
@@ -97,13 +99,55 @@ def _sv_kernel(
     l_scr = next(it)
     acc_scr = next(it)
     q_scr = next(it)            # (bhb,bq,d): bf16 deq q (fp8/raw) or int8 q̂
-    qs_scr = next(it, None) if q_mode == "int8" else None
-    qb_scr = next(it, None) if bound_max else None  # (bhb,bq,_LANES) bounds
+    qs_scr = next(it) if q_mode == "int8" else None
+    qb_scr = next(it) if bound_max else None  # (bhb,bq,_LANES) bounds
+    # kv_resident staging (DESIGN §21): the e4m3→bf16 upcast of every K/V
+    # tile re-ran once per Q BLOCK — the measured fp8 floor term (§20,
+    # ~1.07 ms @ bq1024 8k). With a dense schedule the kv tile at step s
+    # is the same for every q block i, so q-sweep 0 stages the upcast
+    # result into persistent VMEM scratch and i > 0 reuses it — (I−1)/I
+    # of the upcast deleted at SMALL q blocks, which keeps bh packing
+    # feasible too (big-bq amortization and packing were VMEM-exclusive,
+    # logs/r4_exp3.jsonl).
+    # int8 QKᵀ rides the native int8 MXU — only V needs the bf16 staging
+    kres_scr = (next(it) if kv_resident and q_mode != "int8"
+                else None)  # (bhb,S,bkv,d) bf16
+    vres_scr = next(it) if kv_resident else None  # (bhb,S,bkv,dv) bf16
 
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
     fp8_kv = jnp.dtype(kv_dtype) in _F8
+
+    def _k_op(bb, lo, w):
+        """bf16 score operand for K rows [lo, lo+w) of row bb."""
+        if kv_resident:
+            return kres_scr[bb, s, lo:lo + w]
+        k = k_ref[bb, lo:lo + w]
+        if fp8_kv:
+            return _fp8_upcast(k)
+        if k.dtype == jnp.int8:
+            return k.astype(jnp.bfloat16)  # weight-only int8: in-register
+        return k
+
+    def _v_op(bb, lo, w):
+        if kv_resident:
+            return vres_scr[bb, s, lo:lo + w]
+        v = v_ref[bb, lo:lo + w]
+        return _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
+
+    if kv_resident:
+        @pl.when(i == 0)
+        def _stage_kv():
+            for bb in range(bh_block):
+                if q_mode != "int8":
+                    k = k_ref[bb]
+                    kres_scr[bb, s] = (
+                        _fp8_upcast(k) if fp8_kv else
+                        k.astype(jnp.bfloat16))
+                v = v_ref[bb]
+                vres_scr[bb, s] = (
+                    _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16))
 
     @pl.when(s == 0)
     def _init():
@@ -161,19 +205,14 @@ def _sv_kernel(
 
     def _qk(j, bb=0):
         """Score sub-tile j of row bb: (bq, csz) — pure value, no writes."""
-        k = k_ref[bb, j * csz:(j + 1) * csz]
         if q_mode == "int8":
+            k = k_ref[bb, j * csz:(j + 1) * csz]
             raw = lax.dot_general(
                 q_scr[bb], k, _NT_DIMS, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
             sij = raw * qs_scr[bb, :, :1]
         else:
-            if fp8_kv:
-                kf = _fp8_upcast(k)
-            elif k.dtype == jnp.int8:
-                kf = k.astype(jnp.bfloat16)  # weight-only int8: in-register
-            else:
-                kf = k
+            kf = _k_op(bb, j * csz, csz)
             sij = lax.dot_general(
                 q_scr[bb], kf, _NT_DIMS, preferred_element_type=jnp.float32
             )
@@ -183,8 +222,8 @@ def _sv_kernel(
 
     def _pv(p, j, bb=0):
         """P·V for sub-tile j against V rows [j·csz, (j+1)·csz)."""
-        v = v_ref[bb, j * csz:(j + 1) * csz]
         if pv_quant:
+            v = v_ref[bb, j * csz:(j + 1) * csz]
             # P ∈ [0, 1] after the base-2 exp (every element ≤ the running
             # max's exp2(0) = 1), so a STATIC ×127 scale quantizes it with
             # no amax pass; the PV dot then rides the 2× int8 MXU path
@@ -196,7 +235,7 @@ def _sv_kernel(
                 p8, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * jnp.float32(1.0 / 127.0)
-        vf = _fp8_upcast(v) if fp8_kv else v.astype(jnp.bfloat16)
+        vf = _v_op(bb, j * csz, csz)
         return lax.dot_general(
             p.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -435,6 +474,7 @@ def serving_flash_attention(
     bh_block: Optional[int] = None,
     transposed: Optional[bool] = None,
     isolate: str = "",
+    kv_resident: Optional[bool] = None,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -717,30 +757,46 @@ def serving_flash_attention(
         scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
     if bound_max:
         scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
+    if kv_resident:
+        if q_mode != "int8":
+            scratch.append(pltpu.VMEM(
+                (bhb, sched.max_kv_steps, bkv, d), jnp.bfloat16))
+        scratch.append(pltpu.VMEM(
+            (bhb, sched.max_kv_steps, bkv, dv), jnp.bfloat16))
 
     if kv_split < 1 or bkv % kv_split or (bkv // kv_split) % 128:
         raise ValueError(
             f"kv_split={kv_split} must divide block_kv={bkv} into "
             "128-aligned sub-tiles")
+    if kv_resident is None:
+        kv_resident = False  # default decided by the r4 sweep (DESIGN §21)
+    if kv_resident and schedule != "dense":
+        # a band/causal q block sees different kv tiles per i — the
+        # staged tile of q-sweep 0 would be the wrong one
+        raise ValueError("kv_resident requires the dense schedule")
+    if kv_resident and pv_quant:
+        raise ValueError("pv_quant's int8 PV path has no bf16 V staging")
     kernel = functools.partial(
         _sv_kernel, sched=sched, num_steps=sched.max_kv_steps,
         q_mode=q_mode, kv_dtype=kv_dtype, k_scaled=k_scaled,
         need_lse=return_lse, scale=scale, pv_quant=pv_quant,
         bound_max=bound_max, kv_split=kv_split, isolate=isolate,
-        bh_block=bhb,
+        bh_block=bhb, kv_resident=kv_resident,
     )
     out_dtype = q.dtype if q.dtype != jnp.float32 else jnp.float32
-    # large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20) or packed
-    # bh rows: the live f32 score tiles alone approach the 16 MB default
-    # scoped budget — raise it, as the bf16 path does (_flash_fwd).
-    score_bytes = bhb * bq * bkv * 4
-    vmem_bytes = None
-    if score_bytes > (14 << 20) // 2:
-        # 64 MB covers score tiles ≤32 MB (the shipped bq4096/bkv2048);
-        # the v5e has 128 MB of VMEM, so the very largest packings
-        # (bhb·bq·bkv·4 up to 64 MB) get 96 MB and still leave the
-        # compiler headroom for its own staging buffers.
-        vmem_bytes = (64 << 20) if score_bytes <= (32 << 20) else (96 << 20)
+    # Large tiles (upcast-amortizing block_q ≥ 2048, DESIGN §20) or packed
+    # bh rows push past the 16 MB default scoped budget. Size the grant to
+    # the config's modeled demand — and refuse configs beyond the VMEM
+    # envelope up front with a structured error instead of letting the
+    # remote compiler 500 (VERDICT r3 item 2; model: ops/vmem.py).
+    est = estimate_fwd_vmem(
+        block_q=bq, block_kv=bkv, d=d, dv=dv, bh_block=bhb, q_mode=q_mode,
+        kv_bytes=jnp.dtype(kv_dtype).itemsize, bound_max=bound_max,
+        k_scaled=k_scaled, pv_quant=pv_quant, masked=sched.has_mask,
+        need_lse=return_lse,
+        kv_resident_steps=sched.max_kv_steps if kv_resident else 0,
+    ).check()
+    vmem_bytes = est.grant_bytes
     o, lse = pl.pallas_call(
         kernel,
         grid=(bh // bhb, sched.num_q_blocks, sched.max_kv_steps),
@@ -755,7 +811,12 @@ def serving_flash_attention(
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # kv_resident relies on q-sweep i == 0 running before i > 0
+            # (grid order) — mark the i dim arbitrary so Mosaic cannot
+            # legally reorder it.
+            dimension_semantics=(
+                ("parallel", "arbitrary", "arbitrary") if kv_resident
+                else ("parallel", "parallel", "arbitrary")),
             vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
