@@ -68,16 +68,41 @@ def main():
             return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         return fwdbwd
 
-    # ---- A. decomposition at the (new) default blocks 1024x1024
-    for parts in ("both", "dq", "dkv", "none"):
-        with force_bwd_parts(parts):
-            fn = grad_fn(1024, 1024)
-            t = time_fn(fn, q, k, v, iters=5)
-        row(tag=f"decomp.bq1024.bkv1024.{parts}", ms=round(t * 1e3, 3))
+    import os
 
-    # ---- B. tile x packing sweep, grad-gated per config
-    tiles = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
-             (1024, 2048), (2048, 1024), (2048, 2048), (4096, 1024)]
+    if os.environ.get("R4_EXP6_PHASE", "1") == "1":
+        # ---- A. decomposition at the (new) default blocks 1024x1024
+        for parts in ("both", "dq", "dkv", "none"):
+            with force_bwd_parts(parts):
+                fn = grad_fn(1024, 1024)
+                t = time_fn(fn, q, k, v, iters=5)
+            row(tag=f"decomp.bq1024.bkv1024.{parts}", ms=round(t * 1e3, 3))
+        # ---- B. tile x packing sweep, grad-gated per config
+        tiles = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
+                 (1024, 2048), (2048, 1024), (2048, 2048), (4096, 1024)]
+    elif os.environ.get("R4_EXP6_PHASE") == "2":
+        # Phase 2 (after flash_bwd gained demand-sized grants): the rows
+        # phase 1 lost to under-grants — the square-tile + packing corner
+        # that won the forward sweep.
+        tiles = [(512, 1024), (1024, 1024), (1024, 2048), (2048, 1024),
+                 (2048, 2048), (4096, 1024)]
+    else:
+        # Phase 3: per-pass isolation INSIDE each backward kernel at the
+        # measured-best blocks (2048², phase 2) — pins the ~2.1 ms gap to
+        # the MXU dots-ideal on a term (exp2 / ds / the TN dk and dv
+        # dots), the way DESIGN §20 did for the forward.
+        from tpu_flash.ops.flash_bwd import force_bwd_isolate
+
+        for parts in ("dq", "dkv"):
+            for iso in ("", "noexp", "nods", "nodk", "nodv"):
+                if parts == "dq" and iso in ("nodk", "nodv"):
+                    continue
+                with force_bwd_parts(parts), force_bwd_isolate(iso):
+                    fn = grad_fn(2048, 2048)
+                    t = time_fn(fn, q, k, v, iters=5)
+                row(tag=f"iso.bq2048.bkv2048.{parts}.{iso or 'full'}",
+                    ms=round(t * 1e3, 3))
+        return
     best = (0.0, None)
     for bq, bkv in tiles:
         for bhb in (1, 2, 4):

@@ -212,9 +212,13 @@ def test_band_pipeline_matches_blockspec_path(rng, case):
         "circulant": lambda: flash.circulant_fa(
             q, k, v, w, return_lse=True, **kw),
     }[case]
-    with flash.band_pipeline(True, sub=256):
-        o_p, lse_p = fn()
-    o_s, lse_s = fn()
+    # pin the BlockSpec path to the exact running max: the DMA-pipeline
+    # kernel has no bound-max variant, and this test compares PIPELINES,
+    # not max strategies (bound-max default landed r4, logs/r4_exp8.jsonl)
+    with flash.force_bound_max(False):
+        with flash.band_pipeline(True, sub=256):
+            o_p, lse_p = fn()
+        o_s, lse_s = fn()
     np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_s),
                                atol=1e-6)

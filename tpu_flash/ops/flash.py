@@ -97,8 +97,29 @@ def band_pipeline(on: Optional[bool], sub: Optional[int] = None):
 
 _ISOLATE = ""
 
+# Route band schedules at d ≤ 64 through the STANDARD kernel (bh packing
+# + constant bound-max) instead of the transposed layout. Measured
+# (logs/r4_exp8.jsonl): sliding w=1025 d=64 @8k 2.77 → 2.24 ms at the
+# band default tiles — bands are step-latency-bound, so packing beats
+# the transposed kernel's full PV lanes.
+_SMALL_D_STANDARD = True
+
 # None = schedule-based auto (see _flash_fwd); True/False = forced.
 _BOUND_MAX_OVERRIDE: Optional[bool] = None
+
+
+@contextlib.contextmanager
+def force_standard_small_d(on: bool):
+    """A/B override: run d ≤ 64 band schedules through the standard
+    (non-transposed) forward kernel. Measurement only until the dispatch
+    rule is frozen from logs/r4_exp8.jsonl."""
+    global _SMALL_D_STANDARD
+    prev = _SMALL_D_STANDARD
+    _SMALL_D_STANDARD = on
+    try:
+        yield
+    finally:
+        _SMALL_D_STANDARD = prev
 
 
 @contextlib.contextmanager
@@ -877,7 +898,14 @@ def _flash_fwd(
             q, k, v, sched, interpret=interpret, out_dtype=out_dtype,
             hq=hq, hkv=hkv, need_lse=need_lse,
         )
-    if q.shape[-1] <= 64 and v.shape[-1] <= 64:
+    band = isinstance(sched, (LocalSchedule, CirculantSchedule))
+    use_transposed = q.shape[-1] <= 64 and v.shape[-1] <= 64
+    if use_transposed and band and _SMALL_D_STANDARD:
+        # band schedules at d ≤ 64 are step-latency bound, not MXU-bound:
+        # the standard kernel's bh packing + constant bound-max beat the
+        # transposed kernel's full PV lanes there (logs/r4_exp8.jsonl)
+        use_transposed = False
+    if use_transposed:
         # small head dims: the transposed kernel keeps the MXU's output
         # lanes full (VERDICT r1 item 2; 74.9 → 101.9 TFLOP/s at d=64).
         return _flash_fwd_t(
@@ -938,10 +966,13 @@ def _flash_fwd(
 
     bound_max = _BOUND_MAX_OVERRIDE
     if bound_max is None:
-        # Measured auto-default (logs/r4_exp4.jsonl): the constant-bound
-        # max deletes the band kernel's max+rescale VPU chain; dense is
-        # MXU-bound at big tiles and keeps the exact running max.
-        bound_max = isinstance(sched, (LocalSchedule, CirculantSchedule))
+        # Measured auto-default (logs/r4_exp8.jsonl): the constant-bound
+        # max deletes the max+rescale VPU chain — band sliding w=1025 @8k
+        # 2.32 → 1.92 ms, circulant 3.15 → 2.68, and mask-free dense
+        # 166.9 → 174.0 TFLOP/s. Causal keeps the exact max pending its
+        # own measurement.
+        bound_max = (not sched.has_mask
+                     or isinstance(sched, (LocalSchedule, CirculantSchedule)))
     kmx = None
     if bound_max:
         kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)

@@ -57,6 +57,24 @@ _TN = (((0,), (0,)), ((), ()))  # (k,m)x(k,n) -> (m,n)
 # the dq-vs-dkv floor decomposition VERDICT r3 item 4 asked for.
 _BWD_PARTS = "both"
 
+# Diagnostic: delete one pass inside the backward kernels (outputs
+# WRONG) to decompose their floor: "noexp" (exp2 → scaled subtract),
+# "nods" (ds multiply skipped; dp used directly), "notn" (the TN dk/dv
+# dots replaced by NT dots against the same operands — measures the
+# transpose-staging cost of the TN orientation).
+_BWD_ISOLATE = ""
+
+
+@contextlib.contextmanager
+def force_bwd_isolate(mode: str):
+    global _BWD_ISOLATE
+    prev = _BWD_ISOLATE
+    _BWD_ISOLATE = mode
+    try:
+        yield
+    finally:
+        _BWD_ISOLATE = prev
+
 
 @contextlib.contextmanager
 def force_bwd_parts(parts: str):
@@ -118,7 +136,10 @@ def _dq_kernel(
             # q carries the forward's scale*log2e factor: sij is in base-2
             # units while lse is natural — rescale lse, exp2, and put the
             # ln2 chain-rule factor on the final dq write.
-            ps = [jnp.exp2(sij - lse * LOG2E) for sij in sijs]
+            if _BWD_ISOLATE == "noexp":
+                ps = [(sij - lse) * (1.0 / 4096.0) for sij in sijs]
+            else:
+                ps = [jnp.exp2(sij - lse * LOG2E) for sij in sijs]
             dps = [
                 lax.dot_general(
                     do.astype(v_ref.dtype), v_ref[bb, h * csz:(h + 1) * csz],
@@ -127,7 +148,10 @@ def _dq_kernel(
             ]
             acc = dq_acc[bb]
             for h in range(split):
-                ds = ps[h] * (dps[h] - delta)
+                if _BWD_ISOLATE == "nods":
+                    ds = ps[h]  # skip the (dp − Δ) combine
+                else:
+                    ds = ps[h] * (dps[h] - delta)
                 acc = acc + lax.dot_general(
                     ds.astype(k_ref.dtype), k_ref[bb, h * csz:(h + 1) * csz],
                     _NN, preferred_element_type=jnp.float32)
@@ -192,26 +216,37 @@ def _dkv_kernel(
                 for h in range(split)
             ]
             dos = [do_ref[bb, h * csz:(h + 1) * csz] for h in range(split)]
-            ps = [jnp.exp2(sijs[h] - lses[h] * LOG2E) for h in range(split)]
-            dv_new = dv_acc[bb]
-            for h in range(split):
-                dv_new = dv_new + lax.dot_general(
-                    ps[h].astype(dos[h].dtype), dos[h], _TN,
-                    preferred_element_type=jnp.float32)
-            dv_acc[bb] = dv_new
+            if _BWD_ISOLATE == "noexp":
+                ps = [(sijs[h] - lses[h]) * (1.0 / 4096.0)
+                      for h in range(split)]
+            else:
+                ps = [jnp.exp2(sijs[h] - lses[h] * LOG2E)
+                      for h in range(split)]
+            if _BWD_ISOLATE != "nodv":
+                dv_new = dv_acc[bb]
+                for h in range(split):
+                    dv_new = dv_new + lax.dot_general(
+                        ps[h].astype(dos[h].dtype), dos[h], _TN,
+                        preferred_element_type=jnp.float32)
+                dv_acc[bb] = dv_new
             dps = [
                 lax.dot_general(
                     dos[h].astype(v.dtype), v, _NT,
                     preferred_element_type=jnp.float32)
                 for h in range(split)
             ]
-            dk_new = dk_acc[bb]
-            for h in range(split):
-                ds = ps[h] * (dps[h] - deltas[h])
-                dk_new = dk_new + lax.dot_general(
-                    ds.astype(q_ref.dtype), q_ref[bb, h * csz:(h + 1) * csz],
-                    _TN, preferred_element_type=jnp.float32)
-            dk_acc[bb] = dk_new
+            if _BWD_ISOLATE != "nodk":
+                dk_new = dk_acc[bb]
+                for h in range(split):
+                    if _BWD_ISOLATE == "nods":
+                        ds = dps[h]  # skip the p·(dp − Δ) multiply
+                    else:
+                        ds = ps[h] * (dps[h] - deltas[h])
+                    dk_new = dk_new + lax.dot_general(
+                        ds.astype(q_ref.dtype),
+                        q_ref[bb, h * csz:(h + 1) * csz],
+                        _TN, preferred_element_type=jnp.float32)
+                dk_acc[bb] = dk_new
 
         sijs_next = [_sij(0, h) for h in range(split)]
         for bb in range(bh_block):
@@ -495,8 +530,6 @@ def flash_backward(
 
     num_q_blocks = sched.num_q_blocks
     num_kv_blocks = sched.num_kv_blocks
-    mb = _auto_vmem_mb(sched, None, extra_tiles=1)
-    vmem_bytes = (mb << 20) if mb else None
 
     # Batch-head packing (the forward's band remedy applied to both
     # backward grids): band backward was step-overhead-bound at 33 TFLOP/s
@@ -520,6 +553,17 @@ def flash_backward(
             bhb *= 2
     if bhb > 1:
         split = 1  # bh staging subsumes the sub-tile staging
+
+    # Demand-sized scoped grant + pre-lowering pruning (ops/vmem.py):
+    # round 4's backward sweep showed every HTTP-500 row was an UNDER-
+    # grant (1024²/bhb2 died at the 16 MB default while 2048²/bhb1
+    # compiled at 32 MB), not a hardware limit — same fix as the forward.
+    from tpu_flash.ops.vmem import estimate_bwd_vmem
+
+    est = estimate_bwd_vmem(
+        block_q=bq, block_kv=bkv, d=d, dv=dv_dim, bh_block=bhb,
+    ).check()
+    vmem_bytes = est.grant_bytes
 
     # ---- dQ: Q-major grid, forward schedule.
     dq_steps = sched.max_kv_steps

@@ -179,7 +179,10 @@ def estimate_bwd_vmem(
     d: int,
     dv: int,
     bh_block: int = 1,
-    n_live_tiles: int = 3,     # s, p, dp live together in the dkv kernel
+    n_live_tiles: int = 2,     # s/p/dp overlap; Mosaic streams the chain —
+    #                            2048² bhb1 measured compiling at a 32 MB
+    #                            grant (logs/r4_exp6.jsonl), so ~1.5 tiles
+    #                            are effectively live; 2 leaves slack
     n_acc: int = 2,            # dk + dv (or dq) f32 accumulators
     io_operands_bytes: int | None = None,
     lanes: int = 128,

@@ -212,6 +212,14 @@ def _sv_kernel(
             ).astype(jnp.float32)
             sij = raw * qs_scr[bb, :, :1]
         else:
+            # NOTE (r4, logs/r4_exp8.jsonl): folding the per-token K scale
+            # into the (csz, d) operand instead of the (bq, csz) score
+            # tile is arithmetically bq/d× less VPU work but MEASURED
+            # SLOWER (fp8-token d=128: 166.5 → 160.2 TFLOP/s) — the
+            # multiply+cast between `_fp8_upcast` and the MXU breaks
+            # Mosaic's fused upcast scheduling. The score-tile multiply
+            # below stays; tensor-mode scales (folded into Q at init)
+            # remain the fast path.
             kf = _k_op(bb, j * csz, csz)
             sij = lax.dot_general(
                 q_scr[bb], kf, _NT_DIMS, preferred_element_type=jnp.float32
@@ -415,6 +423,8 @@ def _sv_kernel_t(
             ).astype(jnp.float32)  # (bkv, bq)
             st = raw * qs_ref[0][:1]
         else:
+            # operand-side K-scale folding measured SLOWER here too
+            # (logs/r4_exp8.jsonl d=64 rows; see _sv_kernel._qk note)
             kf = _fp8_upcast(k) if fp8_kv else (
                 k.astype(jnp.bfloat16) if k.dtype == jnp.int8 else k)
             st = lax.dot_general(
