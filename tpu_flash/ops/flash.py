@@ -890,6 +890,7 @@ def _flash_fwd(
     hkv: int = 1,
     need_lse: bool = True,
     vmem_limit_mb: Optional[int] = None,
+    bound_max: Optional[bool] = None,
 ):
     if (_BAND_PIPELINE and isinstance(sched, (LocalSchedule,
                                               CirculantSchedule))
@@ -927,8 +928,11 @@ def _flash_fwd(
         return (b // hq) * hkv + (b % hq) // g
 
     bias, bias_spec = _bias_operand(sched, transposed=False)
-    if sched.has_mask:
-        vmem_limit_mb = _auto_vmem_mb(sched, vmem_limit_mb)
+    # masked paths take demand-model grants below like everything else —
+    # the old fixed 32 MB _auto_vmem_mb ignored bh packing and OOM'd
+    # sliding-causal d=128 at auto bhb=2 by 186 KB (caught by the r4
+    # verify drive); grants above need are perf-neutral (DESIGN §12's
+    # 32-vs-64 MB measurement).
 
     # Small tiles leave the fixed ~2 µs per-grid-step cost dominant; pack
     # several batch·head rows into one step (MHA only: the GQA kv_row map
@@ -964,15 +968,19 @@ def _flash_fwd(
         vmem_limit_mb = est.grant_bytes >> 20
     grid = (bh // bhb, sched.num_q_blocks, num_steps)
 
-    bound_max = _BOUND_MAX_OVERRIDE
+    if _BOUND_MAX_OVERRIDE is not None:  # experiment override wins
+        bound_max = _BOUND_MAX_OVERRIDE
     if bound_max is None:
         # Measured auto-default (logs/r4_exp8.jsonl): the constant-bound
         # max deletes the max+rescale VPU chain — band sliding w=1025 @8k
         # 2.32 → 1.92 ms, circulant 3.15 → 2.68, and mask-free dense
-        # 166.9 → 174.0 TFLOP/s. Causal keeps the exact max pending its
-        # own measurement.
+        # 166.9 → 174.0 TFLOP/s. CAUSAL variants keep the exact max: they
+        # are unmeasured, and the engine's chunked-prefill bitwise
+        # contract needs a max that doesn't depend on the kv span
+        # (tests/test_engine.py::test_chunked_prefill_sliding_window).
         bound_max = (not sched.has_mask
-                     or isinstance(sched, (LocalSchedule, CirculantSchedule)))
+                     or (isinstance(sched, (LocalSchedule, CirculantSchedule))
+                         and not getattr(sched, "causal", False)))
     kmx = None
     if bound_max:
         kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
@@ -1046,9 +1054,9 @@ def _flash_fwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
-        vmem_limit_mb=None, bwd_split=None):
+        vmem_limit_mb=None, bwd_split=None, bound_max=None):
     """Differentiable core on padded (B·H, n_pad, d) arrays → (o, lse).
 
     The surrounding scaling / padding / halo-concat ops stay outside this
@@ -1064,19 +1072,19 @@ def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
     """
     return _flash_fwd(q, k, v, sched, interpret=interpret,
                       out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=need_lse,
-                      vmem_limit_mb=vmem_limit_mb)
+                      vmem_limit_mb=vmem_limit_mb, bound_max=bound_max)
 
 
 def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
-            vmem_limit_mb, bwd_split):
+            vmem_limit_mb, bwd_split, bound_max):
     o, lse = _flash_fwd(q, k, v, sched, interpret=interpret,
                         out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=True,
-                        vmem_limit_mb=vmem_limit_mb)
+                        vmem_limit_mb=vmem_limit_mb, bound_max=bound_max)
     return (o, lse), (q, k, v, o, lse)
 
 
 def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
-            bwd_split, res, cts):
+            bwd_split, bound_max, res, cts):
     from tpu_flash.ops.flash_bwd import flash_backward
 
     q, k, v, o, lse = res
@@ -1181,7 +1189,7 @@ def flash_attention(
     kv_dtype=None,
     vmem_limit_mb: Optional[int] = None,
     bwd_split: Optional[int] = None,
-    bound_max: bool = True,
+    bound_max: Optional[bool] = None,
     kv_scale: str = "token",
 ):
     """Schedule-parameterized fused attention on ``(batch, heads, n, d)``.
@@ -1194,10 +1202,15 @@ def flash_attention(
     radius≥0 to band it). Sequence lengths are padded to block multiples
     internally; outputs are sliced back.
 
-    ``bound_max`` / ``kv_scale`` (quantized route only): ``bound_max=True``
-    uses the Cauchy-Schwarz norm-bound running max, False the measured
-    score-tile max — both exact online softmax; ``kv_scale`` picks the
-    K-scale granularity ("token" or "tensor"). Ignored on the bf16 path.
+    ``bound_max``: None = measured auto-default (quantized route: on;
+    bf16 route: on for band + mask-free dense, off for causal). True /
+    False force the Cauchy-Schwarz norm-bound vs the exact score-tile
+    running max — both are exact online softmax, but the BOUND depends on
+    the kv span the kernel sees, so callers that need bit-identical
+    results across different kv partitionings (e.g. the engine's
+    chunked-vs-unchunked prefill contract) pass False. ``kv_scale``
+    (quantized route only) picks the K-scale granularity ("token" or
+    "tensor").
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
@@ -1231,7 +1244,8 @@ def flash_attention(
             shift=shift, wrap_n=wrap_n, shifted_causal=shifted_causal,
             block_q=block_q, block_kv=min(block_kv, 2048),
             return_lse=return_lse, interpret=interpret,
-            bound_max=bound_max, kv_scale=kv_scale,
+            bound_max=bound_max if bound_max is not None else True,
+            kv_scale=kv_scale,
         )
     b, h, n_q, d = q.shape
     n_kv = k.shape[2]
@@ -1264,7 +1278,7 @@ def flash_attention(
     vf = _pad_seq(vf, sched.n_kv_pad)
 
     o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv, return_lse,
-                 vmem_limit_mb, bwd_split)
+                 vmem_limit_mb, bwd_split, bound_max)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
         return o, lse[:, :n_q].reshape(b, h, n_q)
