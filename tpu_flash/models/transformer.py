@@ -46,6 +46,12 @@ class ModelConfig:
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # Attention max strategy: None = the kernel library's measured auto
+    # (constant norm-bound max — causal dense 105.5 → 120.0 TFLOP/s @8k,
+    # logs/r4_exp9.jsonl). The serving engine pins this to False: the
+    # BOUND depends on the kv span each kernel call sees, and the
+    # engine's chunked-vs-unchunked prefill must be bit-identical.
+    attn_bound_max: Optional[bool] = None
 
     @property
     def hidden(self) -> int:
@@ -198,10 +204,12 @@ def _attn_full(q, k, v, cfg: ModelConfig, attn_fn=None):
         o = flash.sliding_fa(
             qt, kt, vt, cfg.window, causal=True,
             block_q=cfg.block_q, block_kv=cfg.block_kv,
+            bound_max=cfg.attn_bound_max,
         )
     else:
         o = flash.dense_fa(
-            qt, kt, vt, causal=True, block_q=cfg.block_q, block_kv=cfg.block_kv
+            qt, kt, vt, causal=True, block_q=cfg.block_q,
+            block_kv=cfg.block_kv, bound_max=cfg.attn_bound_max,
         )
     return jnp.swapaxes(o, 1, 2)  # (B, N, H, D)
 
@@ -385,6 +393,7 @@ def prefill_chunk(params, tokens, offset, true_len, caches, slot,
             schedule="causal" if radius is None else "local_causal",
             radius=radius,
             block_q=cfg.block_q, block_kv=cfg.block_kv, return_lse=True,
+            bound_max=cfg.attn_bound_max,
         )  # (1, qh, C, d), (1, qh, C)
         o, _ = merge_partials(
             jnp.swapaxes(o1, 0, 1)[None].astype(jnp.float32),

@@ -971,16 +971,20 @@ def _flash_fwd(
     if _BOUND_MAX_OVERRIDE is not None:  # experiment override wins
         bound_max = _BOUND_MAX_OVERRIDE
     if bound_max is None:
-        # Measured auto-default (logs/r4_exp8.jsonl): the constant-bound
-        # max deletes the max+rescale VPU chain — band sliding w=1025 @8k
-        # 2.32 → 1.92 ms, circulant 3.15 → 2.68, and mask-free dense
-        # 166.9 → 174.0 TFLOP/s. CAUSAL variants keep the exact max: they
-        # are unmeasured, and the engine's chunked-prefill bitwise
-        # contract needs a max that doesn't depend on the kv span
-        # (tests/test_engine.py::test_chunked_prefill_sliding_window).
+        # Measured auto-default (logs/r4_exp8.jsonl, r4_exp9.jsonl): the
+        # constant-bound max deletes the max+rescale VPU chain — band
+        # sliding w=1025 @8k 2.32 → 1.92 ms, circulant 3.15 → 2.68,
+        # mask-free dense 166.9 → 174.0 TFLOP/s, causal 105.5 → 120.0,
+        # causal-band 4.07 → 3.57 ms. The shifted (ring-hop) and
+        # block-diagonal schedules keep the exact max: unmeasured, and
+        # ring exactness guarantees compare against whole-sequence runs.
+        # NOTE the bound depends on the kv span a call sees — callers
+        # needing bit-identical results across kv partitionings pass
+        # bound_max=False (the serving engine does, for its chunked-vs-
+        # unchunked prefill contract; tests/test_engine.py).
         bound_max = (not sched.has_mask
-                     or (isinstance(sched, (LocalSchedule, CirculantSchedule))
-                         and not getattr(sched, "causal", False)))
+                     or isinstance(sched, (LocalSchedule, CirculantSchedule,
+                                           CausalSchedule)))
     kmx = None
     if bound_max:
         kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)

@@ -250,7 +250,12 @@ class Engine:
         lora=None,   # adapter bank (models/lora.py init_lora_bank layout)
     ):
         self.params = params
-        self.mcfg = model_cfg
+        # Pin the exact running max for every prefill kernel call: the
+        # norm-bound max (the library auto-default for causal schedules,
+        # logs/r4_exp9.jsonl) depends on the kv SPAN each call sees, and
+        # the engine guarantees bit-identical streams across chunked vs
+        # unchunked prefill (tests/test_engine.py) and across resume.
+        self.mcfg = dataclasses.replace(model_cfg, attn_bound_max=False)
         self.ccfg = cache_cfg
         self.ecfg = engine_cfg
         self.mesh = mesh
