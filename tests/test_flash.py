@@ -222,3 +222,28 @@ def test_band_pipeline_matches_blockspec_path(rng, case):
     np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_s), atol=1e-6)
     np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_s),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("schedule,kw,okw", [
+    ("local", dict(radius=128), dict(window_size=257)),
+    ("causal", {}, dict(causal=True)),
+    ("dense", {}, {}),
+])
+@pytest.mark.parametrize("bound", [False, True])
+def test_bound_max_kwarg(rng, schedule, kw, okw, bound):
+    """The public ``bound_max`` kwarg forces the exact / norm-bound
+    running max on the bf16 path; both are exact online softmax
+    (any upper bound is just an exponent shift) and must match the
+    oracle. Auto-defaults are measured (logs/r4_exp8/9.jsonl); this
+    pins the forced settings so the kwarg stays wired."""
+    from tpu_flash.ops.flash import flash_attention
+    from tpu_flash.ops.oracle import blockwise_dpa
+
+    b, h, n, d = 1, 2, 512, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    got = flash_attention(q, k, v, schedule=schedule, block_q=256,
+                          block_kv=256, bound_max=bound, **kw)
+    want, _ = blockwise_dpa(q, k, v, chunk=256, **okw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-3)
