@@ -239,7 +239,10 @@ def test_bound_max_kwarg(rng, schedule, kw, okw, bound):
     from tpu_flash.ops.flash import flash_attention
     from tpu_flash.ops.oracle import blockwise_dpa
 
-    b, h, n, d = 1, 2, 512, 64
+    # d=128: d<=64 dense/causal route to the transposed kernel, whose
+    # running max is structurally the bound — the kwarg must be pinned
+    # on the STANDARD kernel where it switches real code paths
+    b, h, n, d = 1, 2, 512, 128
     q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
                for _ in range(3))
     got = flash_attention(q, k, v, schedule=schedule, block_q=256,

@@ -20,7 +20,10 @@ def _load(path: str) -> list[dict]:
     if not os.path.exists(path):
         return []
     with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        rows = [json.loads(line) for line in f if line.strip()]
+    # sweeps log gate failures as structured {"error": ...} rows (so a
+    # gap is visible in the data) — those carry no measurement to plot
+    return [r for r in rows if "error" not in r]
 
 
 def main() -> None:

@@ -238,6 +238,15 @@ def suite_attention(quick: bool, stream: "str | None" = None) -> list[dict]:
                     )
                 except Exception as e:  # noqa: BLE001 — record, keep sweeping
                     log(f"  {name} n={n} d={d} FAILED: {type(e).__name__}")
+                    # a SILENTLY absent row reads as "covered" — emit a
+                    # structured failure row so the log carries the gap
+                    # (the dense_fp8 n=1024 d=128 gate failure went
+                    # unnoticed from r3 to r4 because the row was dropped)
+                    fail = {"name": name, "n": n, "d": d, "b": b, "h": h,
+                            "error": str(e)[:200]}
+                    rows.append(fail)
+                    if stream:
+                        stream_row(fail, stream)
                     continue
                 row = res.row(roof_dtype)
                 rows.append(row)

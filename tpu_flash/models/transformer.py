@@ -47,10 +47,13 @@ class ModelConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     # Attention max strategy: None = the kernel library's measured auto
-    # (constant norm-bound max — causal dense 105.5 → 120.0 TFLOP/s @8k,
-    # logs/r4_exp9.jsonl). The serving engine pins this to False: the
-    # BOUND depends on the kv span each kernel call sees, and the
-    # engine's chunked-vs-unchunked prefill must be bit-identical.
+    # (causal keeps the exact max: the norm bound measured +14% forward,
+    # 105.5 → 120.0 TFLOP/s @8k, but 2-6× gradient-error amplification
+    # at small n — DESIGN §22, logs/r4_exp9.jsonl). True opts causal
+    # into the bound for inference-only forwards. The serving engine
+    # pins False: the BOUND depends on the kv span each kernel call
+    # sees, and the engine's chunked-vs-unchunked prefill must be
+    # bit-identical.
     attn_bound_max: Optional[bool] = None
 
     @property

@@ -900,11 +900,20 @@ def _flash_fwd(
             hq=hq, hkv=hkv, need_lse=need_lse,
         )
     band = isinstance(sched, (LocalSchedule, CirculantSchedule))
+    if _BOUND_MAX_OVERRIDE is not None:  # experiment override wins
+        bound_max = _BOUND_MAX_OVERRIDE
     use_transposed = q.shape[-1] <= 64 and v.shape[-1] <= 64
     if use_transposed and band and _SMALL_D_STANDARD:
         # band schedules at d ≤ 64 are step-latency bound, not MXU-bound:
         # the standard kernel's bh packing + constant bound-max beat the
         # transposed kernel's full PV lanes there (logs/r4_exp8.jsonl)
+        use_transposed = False
+    if use_transposed and bound_max is False:
+        # the transposed kernel's running max IS the norm bound (it has
+        # no exact-max variant), so an explicit bound_max=False — e.g.
+        # the engine's span-independence pin — must take the standard
+        # kernel even at d ≤ 64 (correctness contract over the ~25%
+        # small-head speedup).
         use_transposed = False
     if use_transposed:
         # small head dims: the transposed kernel keeps the MXU's output
@@ -968,8 +977,6 @@ def _flash_fwd(
         vmem_limit_mb = est.grant_bytes >> 20
     grid = (bh // bhb, sched.num_q_blocks, num_steps)
 
-    if _BOUND_MAX_OVERRIDE is not None:  # experiment override wins
-        bound_max = _BOUND_MAX_OVERRIDE
     if bound_max is None:
         # Measured auto-default (logs/r4_exp8.jsonl, r4_exp9.jsonl): the
         # constant-bound max deletes the max+rescale VPU chain — band
@@ -982,9 +989,24 @@ def _flash_fwd(
         # needing bit-identical results across kv partitionings pass
         # bound_max=False (the serving engine does, for its chunked-vs-
         # unchunked prefill contract; tests/test_engine.py).
-        bound_max = (not sched.has_mask
-                     or isinstance(sched, (LocalSchedule, CirculantSchedule,
-                                           CausalSchedule)))
+        # Underflow caveat (same contract the d≤64 transposed kernel has
+        # carried since r2): rows whose bound exceeds their true max by
+        # ≳126 base-2 units (adversarially norm-aligned yet orthogonal
+        # q/k) underflow every p to 0 and return o=0/lse=−inf via the
+        # valid-row guard instead of the exact value.
+        # CAUSAL schedules measured a +14% forward (105.5 → 120.0
+        # TFLOP/s, r4_exp9) but a 2-6× GRADIENT-error amplification at
+        # small n (causal's early rows have true logsumexp far below the
+        # global-|k| bound; suite data: rel 0.0056 → 0.036 at n=1024
+        # d=128) — causal therefore keeps the exact max by default and
+        # the bound stays a measured opt-in for inference callers.
+        # Block-diagonal is excluded explicitly: ALIGNED sections make
+        # has_mask False, but the global bound would span heterogeneous
+        # sections (unmeasured).
+        bound_max = ((not sched.has_mask
+                      and not isinstance(sched, BlockDiagonalSchedule))
+                     or (isinstance(sched, (LocalSchedule, CirculantSchedule))
+                         and not getattr(sched, "causal", False)))
     kmx = None
     if bound_max:
         kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
@@ -1207,14 +1229,18 @@ def flash_attention(
     internally; outputs are sliced back.
 
     ``bound_max``: None = measured auto-default (quantized route: on;
-    bf16 route: on for band + mask-free dense, off for causal). True /
-    False force the Cauchy-Schwarz norm-bound vs the exact score-tile
-    running max — both are exact online softmax, but the BOUND depends on
-    the kv span the kernel sees, so callers that need bit-identical
-    results across different kv partitionings (e.g. the engine's
-    chunked-vs-unchunked prefill contract) pass False. ``kv_scale``
-    (quantized route only) picks the K-scale granularity ("token" or
-    "tensor").
+    bf16 route: on for mask-free dense and non-causal band schedules —
+    off for causal (+14% fwd but 2-6× grad-error amplification at small
+    n, DESIGN §22) and for the unmeasured shifted/block-diagonal
+    schedules).
+    True / False force the Cauchy-Schwarz norm-bound vs the exact
+    score-tile running max — both are exact online softmax, but the
+    BOUND depends on the kv span the kernel sees, so callers that need
+    bit-identical results across different kv partitionings (e.g. the
+    engine's chunked-vs-unchunked prefill contract) pass False; an
+    explicit False also routes d ≤ 64 away from the transposed kernel,
+    whose running max is structurally the bound. ``kv_scale`` (quantized
+    route only) picks the K-scale granularity ("token" or "tensor").
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")

@@ -197,10 +197,11 @@ def estimate_bwd_vmem(
     tiles = bhb * bq * bkv * 4 * n_live_tiles
     acc = n_acc * bhb * max(bq, bkv) * max(d, dv) * 4
     if io_operands_bytes is None:
-        # q, k, v, o, do blocks (bf16) + lse/delta lane rows, x2 buffers
+        # q, k, v, o, do blocks (bf16) + lse/delta rows ((bhb, 1, bq)
+        # f32 BlockSpecs — NOT lane-broadcast), x2 buffers
         io_operands_bytes = 2 * (
             bhb * bq * d * 2 * 3 + bhb * bkv * d * 2 * 2
-            + 2 * bhb * bq * lanes * 4
+            + 2 * bhb * bq * 4
             + bhb * max(bq, bkv) * max(d, dv) * 4)
     demand = tiles + acc + io_operands_bytes
     detail = (f"tiles({n_live_tiles})={tiles / MB:.0f}MB "

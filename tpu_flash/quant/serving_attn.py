@@ -604,9 +604,14 @@ def serving_flash_attention(
 
     if transposed is None:
         transposed = (d <= 64 and dv <= 64 and not pv_quant
-                      and kv_split == 1 and bh_block == 1 and not isolate)
+                      and kv_split == 1 and bh_block == 1 and not isolate
+                      and not kv_resident)
     if transposed and bh_block > 1:
         raise ValueError("bh_block is a standard-layout knob")
+    if transposed and kv_resident:
+        # the transposed kernel has no staging scratch; silently ignoring
+        # the knob would make an A/B sweep measure the same kernel twice
+        raise ValueError("kv_resident is a standard-layout knob")
     if transposed:
         if pv_quant:
             raise ValueError("pv_quant requires the standard layout")
