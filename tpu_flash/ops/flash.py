@@ -1001,8 +1001,9 @@ def _flash_fwd(
         # d=128) — causal therefore keeps the exact max by default and
         # the bound stays a measured opt-in for inference callers.
         # Block-diagonal is excluded explicitly: ALIGNED sections make
-        # has_mask False, but the global bound would span heterogeneous
-        # sections (unmeasured).
+        # has_mask False, but the global bound spans heterogeneous
+        # sections and measured SLOWER (66.0 exact vs 63.8 covered
+        # TFLOP/s, logs/r4_exp10.jsonl).
         bound_max = ((not sched.has_mask
                       and not isinstance(sched, BlockDiagonalSchedule))
                      or (isinstance(sched, (LocalSchedule, CirculantSchedule))
