@@ -140,8 +140,8 @@ def estimate_fwd_vmem(
         scratch += bhb * bq * d * (1 if q_mode == "int8" else 2)  # q_scr
         if q_mode == "int8":
             scratch += bhb * bq * lanes * 4         # qs
-        if bound_max:
-            scratch += bhb * bq * lanes * 4         # qb
+        # bound_max no longer allocates a qb scratch: the constant bound
+        # folds into m_scr at init (r4 §22 upgrade)
 
     if kv_resident_steps:
         # staged bf16 upcast tiles persist for the whole q sweep
@@ -154,7 +154,7 @@ def estimate_fwd_vmem(
     io += bhb * bkv * d * kv_bytes                  # k block
     io += bhb * bkv * dv * kv_bytes                 # v block
     if bound_max:
-        io += bhb * 8 * bkv * 4                     # kn lane rows
+        io += bhb * 4                               # global-kmax scalars
     if k_scaled:
         io += bhb * bkv * 4                         # sk row
     if has_bias_operand:

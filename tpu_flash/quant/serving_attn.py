@@ -87,7 +87,11 @@ def _sv_kernel(
     # kv_split measurably failed to hide (DESIGN §20). MHA only (the packed
     # rows must map 1:1 onto kv rows); mutually exclusive with kv_split.
     it = iter(refs)
-    kn_ref = next(it) if bound_max else None  # (bhb,8,bkv) scaled k̂ norms
+    # (bhb,1,1) GLOBAL scaled-k̂-norm max per kv row: with a CONSTANT
+    # per-q-block bound m = ‖q‖·max_ALL_j‖k̂_j‖, alpha ≡ 1 and the
+    # per-step max/rescale chain vanishes — the r4_exp8 dense-bf16 win
+    # (166.9 → 174.0) applied to the serving kernel (DESIGN §22).
+    gk_ref = next(it) if bound_max else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -100,7 +104,6 @@ def _sv_kernel(
     acc_scr = next(it)
     q_scr = next(it)            # (bhb,bq,d): bf16 deq q (fp8/raw) or int8 q̂
     qs_scr = next(it) if q_mode == "int8" else None
-    qb_scr = next(it) if bound_max else None  # (bhb,bq,_LANES) bounds
     # kv_resident staging (DESIGN §21): the e4m3→bf16 upcast of every K/V
     # tile re-ran once per Q BLOCK — the measured fp8 floor term (§20,
     # ~1.07 ms @ bq1024 8k). With a dense schedule the kv tile at step s
@@ -183,13 +186,16 @@ def _sv_kernel(
             if bound_max:
                 # Cauchy-Schwarz row bound on the kernel's score operand:
                 # any upper bound keeps online softmax exact (an exponent
-                # shift); this deletes the per-step score-tile max — the
-                # costliest VPU pass when the MXU runs int8 (DESIGN §10/§11).
+                # shift); CONSTANT per q block (global ‖k̂‖ max), so the
+                # whole per-step max + alpha-rescale chain vanishes —
+                # m_scr is set ONCE here and never updated (DESIGN
+                # §10/§11; constant-bound upgrade §22).
                 qop = q_scr[bb].astype(jnp.float32)
                 qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
                 if q_mode == "int8":
                     qb = qb * qs_scr[bb, :, :1]
-                qb_scr[bb] = jnp.broadcast_to(qb, qb_scr.shape[1:])
+                m_scr[bb] = jnp.broadcast_to(
+                    qb * (gk_ref[bb, 0, 0] * 1.0001), m_scr.shape[1:])
 
     def _apply_mask(sij, off, w):
         kv_idx = sched.kv_block_index(i, s)
@@ -266,28 +272,31 @@ def _sv_kernel(
         m_prev = m_scr[bb, :, :1]
         l_prev = l_scr[bb, :, :1]
         if bound_max:
-            kmax = jnp.max(kn_ref[bb][:1]) * 1.0001  # fp-rounding margin
-            m_curr = qb_scr[bb, :, :1] * kmax
+            # constant bound set at init: no per-step max, alpha ≡ 1,
+            # no l/acc rescale
+            m_next = m_prev
+            alpha = None
         else:
             m_curr = jnp.max(sijs[0], axis=-1, keepdims=True)
             for sij in sijs[1:]:
                 m_curr = jnp.maximum(
                     m_curr, jnp.max(sij, axis=-1, keepdims=True))
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
         if isolate == "noexp":
             ps = [(sij - m_next) * (1.0 / 4096.0) for sij in sijs]
         else:
             ps = [jnp.exp2(sij - m_next) for sij in sijs]
-        l_next = alpha * l_prev
+        l_next = l_prev if bound_max else alpha * l_prev
         if isolate == "nosum":
             l_next = l_next + 1.0
         else:
             for p in ps:
                 l_next = l_next + jnp.sum(p, axis=-1, keepdims=True)
-        m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        if not bound_max:
+            m_scr[bb] = jnp.broadcast_to(m_next, m_scr.shape[1:])
         l_scr[bb] = jnp.broadcast_to(l_next, l_scr.shape[1:])
-        acc = acc_scr[bb] * alpha
+        acc = acc_scr[bb] if bound_max else acc_scr[bb] * alpha
         for j, p in enumerate(ps):
             acc = acc + _pv(p, j, bb)
         acc_scr[bb] = acc
@@ -365,7 +374,7 @@ def _sv_kernel_t(
     """
     it = iter(refs)
     qn_ref = next(it) if bound_max else None   # (1,8,bq) effective-q norms
-    kn_ref = next(it) if bound_max else None   # (1,8,bkv) scaled k̂ norms
+    gk_ref = next(it) if bound_max else None   # (1,1,1) global k̂-norm max
     qs_ref = next(it) if q_mode == "int8" else None  # (1,8,bq) q scales
     q_ref = next(it)            # (1,bq,d) int8 q̂ or bf16 scale-folded q
     k_ref = next(it)            # (1,bkv,d) cache-resident k̂
@@ -384,7 +393,13 @@ def _sv_kernel_t(
 
     @pl.when(s == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        if bound_max:
+            # CONSTANT per-q-block bound (global ‖k̂‖ max): m set once,
+            # alpha ≡ 1, zero per-step max/rescale work (§22 upgrade)
+            m_scr[...] = jnp.broadcast_to(
+                qn_ref[0][:1] * (gk_ref[0, 0, 0] * 1.0001), m_scr.shape)
+        else:
+            m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _apply_mask(st):
@@ -398,22 +413,23 @@ def _sv_kernel_t(
 
     def _update(st):
         m_prev = m_scr[:1]
-        if bound_max:
-            kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # fp-rounding margin
-            m_curr = qn_ref[0][:1] * kmax           # (1, bq)
-        else:
-            m_curr = jnp.max(st, axis=0, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(st - m_next).astype(jnp.bfloat16)
+        p = jnp.exp2(st - m_prev if bound_max
+                     else st - jnp.maximum(
+                         m_prev, jnp.max(st, axis=0, keepdims=True))
+                     ).astype(jnp.bfloat16)
         vf = (_fp8_upcast(vte_ref[0]) if fp8_kv
               else vte_ref[0].astype(jnp.bfloat16))
         pv = lax.dot_general(
             vf, p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (dv+1, bq); row dv accumulates l
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:1] = m_next
+        if bound_max:
+            acc_scr[...] = acc_scr[...] + pv
+        else:
+            m_next = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_next)
+            acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[:1] = m_next
 
     def _scores():
         k = k_ref[0]
@@ -657,18 +673,16 @@ def serving_flash_attention(
              jnp.ones((bh_kv, 1), jnp.float32)], axis=1)[..., None]
 
         lane_q_spec = pl.BlockSpec((1, 8, bq), lambda bb, i, s: (bb, 0, i))
-        lane_k_spec = pl.BlockSpec(
-            (1, 8, bkv),
-            lambda bb, i, s, _s=sched: (kv_row(bb), 0,
-                                        _s.kv_block_index(i, s)))
         t_ops, t_specs = [], []
         if bound_max:
+            # global ‖k̂‖ max per kv row — constant per-q-block bound
             kn = scaled_k_norms(k_vals, sk[:, 0, :] if k_scaled else None)
             t_ops += [
                 jnp.broadcast_to(qn_row[:, None, :], (bh, 8, sched.n_q_pad)),
-                jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)),
+                jnp.max(kn, axis=-1).reshape(bh_kv, 1, 1),
             ]
-            t_specs += [lane_q_spec, lane_k_spec]
+            t_specs += [lane_q_spec, pl.BlockSpec(
+                (1, 1, 1), lambda bb, i, s: (kv_row(bb), 0, 0))]
         if q_mode == "int8":
             t_ops.append(jnp.broadcast_to(
                 qs_row[:, None, :], (bh, 8, sched.n_q_pad)))
@@ -733,13 +747,17 @@ def serving_flash_attention(
     operands = []
     in_specs = []
     if bound_max:
-        # per-token norms of the kernel's K operand × its score multiplier
+        # GLOBAL max of the per-token scaled-k̂ norms per kv row: the
+        # constant per-q-block bound (m set once at init — alpha ≡ 1,
+        # zero per-step max/rescale work; §22's dense-bf16 win applied
+        # here). block-unit index: bhb == 1 goes through the GQA row
+        # map; bhb > 1 implies MHA where block b covers rows
+        # [b·bhb, (b+1)·bhb).
         kn = scaled_k_norms(k_vals, sk[:, 0, :] if k_scaled else None)
-        operands.append(jnp.broadcast_to(
-            kn[:, None, :], (bh_kv, 8, sched.n_kv_pad)))
+        operands.append(jnp.max(kn, axis=-1).reshape(bh_kv, 1, 1))
         in_specs.append(pl.BlockSpec(
-            (bhb, 8, bkv),
-            lambda bb, i, s, _s=sched: (kv_row(bb), 0, _s.kv_block_index(i, s)),
+            (bhb, 1, 1),
+            lambda bb, i, s: ((kv_row(bb) if bhb == 1 else bb), 0, 0),
         ))
 
     in_specs += [
@@ -769,8 +787,6 @@ def serving_flash_attention(
             (bhb, bq, d), jnp.int8 if q_mode == "int8" else jnp.bfloat16),
     ]
     if q_mode == "int8":
-        scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
-    if bound_max:
         scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
     if kv_resident:
         if q_mode != "int8":
