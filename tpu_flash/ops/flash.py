@@ -646,21 +646,23 @@ def _fwd_kernel_t(
     output lanes, with a ones row appended to V^T so the softmax
     denominator rides the same dot (row dv of the accumulator is l).
 
-    The per-step score max is replaced by the Cauchy-Schwarz bound
-    ``m̂_i = ‖q̂_i‖ · max_j ‖k_j‖`` (precomputed norms streamed as lane
-    vectors): any upper bound keeps online softmax exact — m is only an
-    exponent shift, s − m̂ ≤ 0 never overflows, and relative precision is
-    unchanged — while deleting the VPU's score-tile max pass, the single
-    most expensive non-MXU op (measured: 82 → 102 TFLOP/s at d=64;
-    logs/r2_exp2.jsonl T2/T3). Underflow needs the bound to be ≳120
-    doublings above the true max (adversarial norm-aligned inputs), in
-    which case rows degrade to o = 0 via the l > 0 guard.
+    The score max is the CONSTANT Cauchy-Schwarz bound
+    ``m̂_i = ‖q̂_i‖ · max_ALL_j ‖k_j‖`` (q norms streamed as lane vectors,
+    the global k-norm max as one scalar), set once at Q-block init: any
+    upper bound keeps online softmax exact — m is only an exponent
+    shift, s − m̂ ≤ 0 never overflows, and relative precision is
+    unchanged — and a constant m makes alpha ≡ 1, deleting the per-step
+    max pass AND the acc-rescale chain (82 → 102 TFLOP/s at d=64 from
+    the per-step bound, logs/r2_exp2.jsonl T2/T3; constant upgrade in
+    r4, DESIGN §24). Underflow needs the bound to be ≳120 doublings
+    above the true max (adversarial norm-aligned inputs), in which case
+    rows degrade to o = 0 via the l > 0 guard.
     """
     if use_bias:
-        (bias_ref, qn_ref, kn_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref,
+        (bias_ref, qn_ref, gk_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref,
          m_scr, acc_scr) = refs
     else:
-        (qn_ref, kn_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref, m_scr,
+        (qn_ref, gk_ref, q_ref, k_ref, vte_ref, ot_ref, lse_ref, m_scr,
          acc_scr) = refs
         bias_ref = None
     i = pl.program_id(1)
@@ -669,7 +671,9 @@ def _fwd_kernel_t(
 
     @pl.when(s == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        # constant bound: m set once, alpha ≡ 1 for the whole q sweep
+        m_scr[...] = jnp.broadcast_to(
+            qn_ref[0][:1] * (gk_ref[0, 0, 0] * 1.0001), m_scr.shape)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _apply_mask(st):
@@ -682,18 +686,12 @@ def _fwd_kernel_t(
         return st
 
     def _update(st):
-        kmax = jnp.max(kn_ref[0][:1]) * 1.0001  # 1e-4 fp-rounding margin
-        mhat = qn_ref[0][:1] * kmax  # (1, bq) upper bound on this block
-        m_prev = m_scr[:1]
-        m_next = jnp.maximum(m_prev, mhat)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(st - m_next).astype(vte_ref.dtype)
+        p = jnp.exp2(st - m_scr[:1]).astype(vte_ref.dtype)
         pv = lax.dot_general(
             vte_ref[0], p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (dv+1, bq); row dv accumulates l
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:1] = m_next
+        acc_scr[...] = acc_scr[...] + pv
 
     def _masked_scores(st):
         if use_bias:
@@ -808,8 +806,9 @@ def _flash_fwd_t(
 
     qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=-1))
     qn = jnp.broadcast_to(qn[:, None, :], (bh, 8, nq_pad))
-    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))
-    kn = jnp.broadcast_to(kn[:, None, :], (bhkv, 8, nkv_pad))
+    # global k-norm max per kv row: the CONSTANT per-q-block bound
+    kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
+    gk = jnp.sqrt(jnp.max(kn2, axis=-1)).reshape(bhkv, 1, 1)
     vte = jnp.concatenate(
         [v.transpose(0, 2, 1), jnp.ones((bhkv, 1, nkv_pad), v.dtype)], axis=1
     )  # (bhkv, dv+1, nkv_pad)
@@ -835,10 +834,7 @@ def _flash_fwd_t(
         grid=grid,
         in_specs=([bias_spec] if bias is not None else []) + [
             pl.BlockSpec((1, 8, bq), lambda b, i, s: (b, 0, i)),
-            pl.BlockSpec(
-                (1, 8, bkv),
-                lambda b, i, s, _s=sched: (kv_row(b), 0, _s.kv_block_index(i, s)),
-            ),
+            pl.BlockSpec((1, 1, 1), lambda b, i, s: (kv_row(b), 0, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
             pl.BlockSpec(
                 (1, bkv, d),
@@ -871,7 +867,7 @@ def _flash_fwd_t(
             transcendentals=sched.n_q * sched.kv_len,
         ),
         interpret=interpret,
-    )(*(() if bias is None else (bias,)), qn, kn, q, k, vte)
+    )(*(() if bias is None else (bias,)), qn, gk, q, k, vte)
     o = ot.transpose(0, 2, 1)
     if not need_lse:
         return o, jnp.zeros((bh, nq_pad), jnp.float32)
