@@ -144,9 +144,9 @@ def _q_fwd_kernel(
     bound_max: bool = False,
 ):
     if bound_max:
-        kn_ref, *refs = refs  # (1, 8, bkv) scaled-K̂ norms (lane vector)
+        gk_ref, *refs = refs  # (1, 1, 1) global scaled-K̂-norm max
     else:
-        kn_ref = None
+        gk_ref = None
     if q_quant:
         (q_ref, k_ref, v_ref, sq_ref, sk_ref, *rest) = refs
     elif k_scaled:
@@ -162,7 +162,6 @@ def _q_fwd_kernel(
     else:
         (o_ref, lse_ref, m_scr, l_scr, acc_scr, *scr) = rest
         sv_ref = None
-    qb_scr = scr[0] if bound_max else None
 
     i = pl.program_id(1)
     s = pl.program_id(2)
@@ -174,9 +173,10 @@ def _q_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
         if bound_max:
-            # Cauchy-Schwarz row bound |s_ij| ≤ ‖q̂_i‖·max_j‖k̂_j·σ‖: depends
-            # only on the Q block, so computed once per (b, i) here rather
-            # than on every kv step (serving_attn.py does the same).
+            # CONSTANT Cauchy-Schwarz bound m = ‖q̂_i‖·max_ALL_j‖k̂_j·σ‖:
+            # set once per (b, i) — alpha ≡ 1, so the per-step max AND
+            # rescale chains vanish (the §24 serving upgrade applied
+            # here too).
             qop = q_ref[0].astype(jnp.float32)
             qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
             if q_quant:
@@ -184,7 +184,8 @@ def _q_fwd_kernel(
                 # _step) rides the bound. fp8 Q never reaches q_quant — it
                 # is dequantized host-side into q_raw (weight-only path).
                 qb = qb * (jnp.expand_dims(sq_ref[0, 0], -1) * LOG2E)
-            qb_scr[...] = jnp.broadcast_to(qb, qb_scr.shape)
+            m_scr[...] = jnp.broadcast_to(
+                qb * (gk_ref[0, 0, 0] * 1.0001), m_scr.shape)
 
     @pl.when(sched.step_needed(i, s))
     def _step():
@@ -230,14 +231,16 @@ def _q_fwd_kernel(
             m_prev = m_scr[:, :1]
             l_prev = l_scr[:, :1]
             if bound_max:
-                m_curr = qb_scr[:, :1] * (jnp.max(kn_ref[0][:1]) * 1.0001)
+                # constant bound set at init: no max, alpha ≡ 1
+                p = jnp.exp2(sij - m_prev)
+                l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
             else:
                 m_curr = jnp.max(sij, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(sij - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp2(m_prev - m_next)
+                p = jnp.exp2(sij - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
             l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
             v = v_ref[0]
@@ -248,7 +251,8 @@ def _q_fwd_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_scr[...] = acc_scr[...] * alpha + pv
+            acc_scr[...] = (acc_scr[...] + pv if bound_max
+                            else acc_scr[...] * alpha + pv)
 
         unm = sched.block_unmasked(i, s) if sched.has_mask else None
         if not sched.has_mask or unm is True:
@@ -326,15 +330,16 @@ def _quantized_fwd(
     in_specs = []
     inputs = []
     if bound_max:
-        # norm-bound max (DESIGN.md §10-11): per-token norms of the
-        # kernel's K operand × its score-column multiplier, as a lane
-        # vector (kernel-matching fp8 decode — see scaled_k_norms).
+        # CONSTANT norm-bound max (DESIGN.md §10-11, §24): the global
+        # max of the per-token scaled-K̂ norms per kv row, one scalar —
+        # m is set once per q block and the per-step max/rescale chain
+        # vanishes.
         kn = scaled_k_norms(
             kq.values,
             kq.scales.reshape(bh_kv, nkv_pad) if k_scaled else None)
-        inputs.append(
-            jnp.broadcast_to(kn[:, None, :], (bh_kv, 8, nkv_pad)))
-        in_specs.append(pl.BlockSpec((1, 8, bkv), kv_scale_map))
+        inputs.append(jnp.max(kn, axis=-1).reshape(bh_kv, 1, 1))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1), lambda b, i, s: (kv_row(b), 0, 0)))
     in_specs += [
         pl.BlockSpec((1, bq, d), lambda b, i, s: (b, i, 0)),
         pl.BlockSpec((1, bkv, d), kv_map),
@@ -384,7 +389,7 @@ def _quantized_fwd(
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, _LANES), jnp.float32),
             pltpu.VMEM((bq, dv), jnp.float32),
-        ] + ([pltpu.VMEM((bq, _LANES), jnp.float32)] if bound_max else []),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
