@@ -144,7 +144,13 @@ def force_bound_max(on: Optional[bool]):
 def force_isolate(mode: str):
     """Run the standard forward kernel with one pass deleted — outputs are
     WRONG; measurement only (scripts/r4_exp4.py band floor decomposition).
-    ``mode`` ∈ {"", "noexp", "nosum", "dots", "nomask"}."""
+    ``mode`` ∈ {"", "noexp", "nosum", "dots", "nomask"}.
+
+    JIT-CACHE HAZARD: the mode is a module global read at TRACE time, not
+    part of any jit cache key. A function first traced inside this context
+    keeps the deleted-pass kernel FOREVER — wrong results persist after the
+    context exits. Measurement scripts must build a fresh (un-jitted or
+    freshly-wrapped) callable per mode and never reuse it outside."""
     global _ISOLATE
     prev = _ISOLATE
     _ISOLATE = mode
@@ -602,8 +608,8 @@ def _flash_fwd_band(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bhb, bq, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((bhb, bq, dv), lambda b, i: (b, i, 0)),
@@ -898,18 +904,49 @@ def _flash_fwd(
     band = isinstance(sched, (LocalSchedule, CirculantSchedule))
     if _BOUND_MAX_OVERRIDE is not None:  # experiment override wins
         bound_max = _BOUND_MAX_OVERRIDE
-    use_transposed = q.shape[-1] <= 64 and v.shape[-1] <= 64
+    if bound_max is None:
+        # Measured auto-default (logs/r4_exp8.jsonl, r4_exp9.jsonl): the
+        # constant-bound max deletes the max+rescale VPU chain — band
+        # sliding w=1025 @8k 2.32 → 1.92 ms, circulant 3.15 → 2.68,
+        # mask-free dense 166.9 → 174.0 TFLOP/s, causal 105.5 → 120.0,
+        # causal-band 4.07 → 3.57 ms. The shifted (ring-hop) and
+        # block-diagonal schedules keep the exact max: unmeasured, and
+        # ring exactness guarantees compare against whole-sequence runs.
+        # NOTE the bound depends on the kv span a call sees — callers
+        # needing bit-identical results across kv partitionings pass
+        # bound_max=False (the serving engine does, for its chunked-vs-
+        # unchunked prefill contract; tests/test_engine.py).
+        # Underflow caveat (same contract the d≤64 transposed kernel has
+        # carried since r2): rows whose bound exceeds their true max by
+        # ≳126 base-2 units (adversarially norm-aligned yet orthogonal
+        # q/k) underflow every p to 0 and return o=0/lse=−inf via the
+        # valid-row guard instead of the exact value.
+        # CAUSAL schedules measured a +14% forward (105.5 → 120.0
+        # TFLOP/s, r4_exp9) but a 2-6× GRADIENT-error amplification at
+        # small n (causal's early rows have true logsumexp far below the
+        # global-|k| bound; suite data: rel 0.0056 → 0.036 at n=1024
+        # d=128) — causal therefore keeps the exact max by default and
+        # the bound stays a measured opt-in for inference callers.
+        # Block-diagonal is excluded explicitly: ALIGNED sections make
+        # has_mask False, but the global bound spans heterogeneous
+        # sections and measured SLOWER (66.0 exact vs 63.8 covered
+        # TFLOP/s, logs/r4_exp10.jsonl).
+        bound_max = ((not sched.has_mask
+                      and not isinstance(sched, BlockDiagonalSchedule))
+                     or (band and not getattr(sched, "causal", False)))
+    # The transposed d ≤ 64 kernel's running max IS the norm bound (it has
+    # no exact-max variant), so it is eligible only when the resolved
+    # bound_max policy is True — masked/causal schedules under the auto
+    # default (exact max) and explicit bound_max=False callers (e.g. the
+    # engine's span-independence pin) take the standard kernel even at
+    # d ≤ 64: the correctness/gradient contract outranks the ~25%
+    # small-head speedup (advisor r4; the causal grad-amplification data
+    # applies to the transposed kernel's global bound identically).
+    use_transposed = q.shape[-1] <= 64 and v.shape[-1] <= 64 and bound_max
     if use_transposed and band and _SMALL_D_STANDARD:
         # band schedules at d ≤ 64 are step-latency bound, not MXU-bound:
         # the standard kernel's bh packing + constant bound-max beat the
         # transposed kernel's full PV lanes there (logs/r4_exp8.jsonl)
-        use_transposed = False
-    if use_transposed and bound_max is False:
-        # the transposed kernel's running max IS the norm bound (it has
-        # no exact-max variant), so an explicit bound_max=False — e.g.
-        # the engine's span-independence pin — must take the standard
-        # kernel even at d ≤ 64 (correctness contract over the ~25%
-        # small-head speedup).
         use_transposed = False
     if use_transposed:
         # small head dims: the transposed kernel keeps the MXU's output
@@ -968,42 +1005,13 @@ def _flash_fwd(
         block_q=bq, block_kv=bkv, d=d, dv=dv, bh_block=bhb,
         kv_bytes=jnp.dtype(k.dtype).itemsize, masked=sched.has_mask,
         has_bias_operand=bias is not None, need_lse=need_lse,
+        q_bytes=jnp.dtype(q.dtype).itemsize,
+        out_bytes=jnp.dtype(out_dtype).itemsize,
     ).check()
     if vmem_limit_mb is None and est.grant_bytes is not None:
         vmem_limit_mb = est.grant_bytes >> 20
     grid = (bh // bhb, sched.num_q_blocks, num_steps)
 
-    if bound_max is None:
-        # Measured auto-default (logs/r4_exp8.jsonl, r4_exp9.jsonl): the
-        # constant-bound max deletes the max+rescale VPU chain — band
-        # sliding w=1025 @8k 2.32 → 1.92 ms, circulant 3.15 → 2.68,
-        # mask-free dense 166.9 → 174.0 TFLOP/s, causal 105.5 → 120.0,
-        # causal-band 4.07 → 3.57 ms. The shifted (ring-hop) and
-        # block-diagonal schedules keep the exact max: unmeasured, and
-        # ring exactness guarantees compare against whole-sequence runs.
-        # NOTE the bound depends on the kv span a call sees — callers
-        # needing bit-identical results across kv partitionings pass
-        # bound_max=False (the serving engine does, for its chunked-vs-
-        # unchunked prefill contract; tests/test_engine.py).
-        # Underflow caveat (same contract the d≤64 transposed kernel has
-        # carried since r2): rows whose bound exceeds their true max by
-        # ≳126 base-2 units (adversarially norm-aligned yet orthogonal
-        # q/k) underflow every p to 0 and return o=0/lse=−inf via the
-        # valid-row guard instead of the exact value.
-        # CAUSAL schedules measured a +14% forward (105.5 → 120.0
-        # TFLOP/s, r4_exp9) but a 2-6× GRADIENT-error amplification at
-        # small n (causal's early rows have true logsumexp far below the
-        # global-|k| bound; suite data: rel 0.0056 → 0.036 at n=1024
-        # d=128) — causal therefore keeps the exact max by default and
-        # the bound stays a measured opt-in for inference callers.
-        # Block-diagonal is excluded explicitly: ALIGNED sections make
-        # has_mask False, but the global bound spans heterogeneous
-        # sections and measured SLOWER (66.0 exact vs 63.8 covered
-        # TFLOP/s, logs/r4_exp10.jsonl).
-        bound_max = ((not sched.has_mask
-                      and not isinstance(sched, BlockDiagonalSchedule))
-                     or (isinstance(sched, (LocalSchedule, CirculantSchedule))
-                         and not getattr(sched, "causal", False)))
     kmx = None
     if bound_max:
         kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
@@ -1077,9 +1085,9 @@ def _flash_fwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
-        vmem_limit_mb=None, bwd_split=None, bound_max=None):
+        vmem_limit_mb=None, bwd_split=None, bound_max=None, bwd_quant=None):
     """Differentiable core on padded (B·H, n_pad, d) arrays → (o, lse).
 
     The surrounding scaling / padding / halo-concat ops stay outside this
@@ -1099,7 +1107,7 @@ def _fa(q, k, v, sched, interpret, out_dtype, hq=1, hkv=1, need_lse=True,
 
 
 def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
-            vmem_limit_mb, bwd_split, bound_max):
+            vmem_limit_mb, bwd_split, bound_max, bwd_quant):
     o, lse = _flash_fwd(q, k, v, sched, interpret=interpret,
                         out_dtype=out_dtype, hq=hq, hkv=hkv, need_lse=True,
                         vmem_limit_mb=vmem_limit_mb, bound_max=bound_max)
@@ -1107,7 +1115,7 @@ def _fa_fwd(q, k, v, sched, interpret, out_dtype, hq, hkv, need_lse,
 
 
 def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
-            bwd_split, bound_max, res, cts):
+            bwd_split, bound_max, bwd_quant, res, cts):
     from tpu_flash.ops.flash_bwd import flash_backward
 
     q, k, v, o, lse = res
@@ -1121,7 +1129,8 @@ def _fa_bwd(sched, interpret, out_dtype, hq, hkv, need_lse, vmem_limit_mb,
         ).reshape(b * hq, n_pad, -1)
         k, v = expand(k), expand(v)
     dq, dk, dv = flash_backward(q, k, v, o, lse, do, dlse, sched,
-                                interpret=interpret, split=bwd_split)
+                                interpret=interpret, split=bwd_split,
+                                quant=bwd_quant)
     if g > 1:
         reduce = lambda x: x.reshape(b, hkv, g, n_pad, -1).sum(axis=2).reshape(
             b * hkv, n_pad, -1)
@@ -1212,6 +1221,7 @@ def flash_attention(
     kv_dtype=None,
     vmem_limit_mb: Optional[int] = None,
     bwd_split: Optional[int] = None,
+    bwd_quant: Optional[str] = None,
     bound_max: Optional[bool] = None,
     kv_scale: str = "token",
 ):
@@ -1234,10 +1244,13 @@ def flash_attention(
     score-tile running max — both are exact online softmax, but the
     BOUND depends on the kv span the kernel sees, so callers that need
     bit-identical results across different kv partitionings (e.g. the
-    engine's chunked-vs-unchunked prefill contract) pass False; an
-    explicit False also routes d ≤ 64 away from the transposed kernel,
-    whose running max is structurally the bound. ``kv_scale`` (quantized
-    route only) picks the K-scale granularity ("token" or "tensor").
+    engine's chunked-vs-unchunked prefill contract) pass False. The
+    d ≤ 64 transposed kernel's running max is structurally the bound,
+    so it is used only when the resolved policy is True — masked/causal
+    schedules under the auto default and explicit-False callers take
+    the standard exact-max kernel at every head dim. ``kv_scale``
+    (quantized route only) picks the K-scale granularity ("token" or
+    "tensor").
     """
     if q.ndim != 4:
         raise ValueError(f"expected (batch, heads, n, d), got {q.shape}")
@@ -1258,11 +1271,11 @@ def flash_attention(
         # through this one dispatch (kv_dtype alone = weight-only mode).
         from tpu_flash.quant.flash_q import quantized_flash_attention
 
-        if bwd_split is not None:
+        if bwd_split is not None or bwd_quant is not None:
             raise ValueError(
-                "bwd_split applies to the bf16 backward kernels only; the "
-                "quantized path has no custom backward (train in bf16, "
-                "quantize for serving)")
+                "bwd_split/bwd_quant apply to the bf16 backward kernels "
+                "only; the quantized path has no custom backward (train "
+                "in bf16, quantize for serving)")
         return quantized_flash_attention(
             q, k, v,
             q_dtype=q_dtype,
@@ -1305,7 +1318,7 @@ def flash_attention(
     vf = _pad_seq(vf, sched.n_kv_pad)
 
     o, lse = _fa(qf, kf, vf, sched, interpret, q.dtype, h, hkv, return_lse,
-                 vmem_limit_mb, bwd_split, bound_max)
+                 vmem_limit_mb, bwd_split, bound_max, bwd_quant)
     o = o[:, :n_q].reshape(b, h, n_q, dv)
     if return_lse:
         return o, lse[:, :n_q].reshape(b, h, n_q)

@@ -117,6 +117,7 @@ def estimate_fwd_vmem(
     masked: bool = False,
     has_bias_operand: bool = False,
     need_lse: bool = False,
+    q_bytes: int = 2,
     out_bytes: int = 2,
     lanes: int = 128,
     kv_resident_steps: int = 0,
@@ -135,13 +136,14 @@ def estimate_fwd_vmem(
 
     scratch = 2 * bhb * bq * lanes * 4              # m, l
     scratch += bhb * bq * dv * 4                    # acc
-    is_serving = q_mode in ("fp8", "int8") or kv_bytes == 1 or bound_max
+    # The serving kernel (quantized K/V residents) stages Q and its
+    # per-row score scales in scratch; the bf16 kernel (kv_bytes == 2)
+    # has neither. bound_max itself allocates nothing extra: the constant
+    # bound folds into m_scr at init (r4 §22 upgrade).
+    is_serving = q_mode in ("fp8", "int8") or kv_bytes == 1
     if is_serving:
         scratch += bhb * bq * d * (1 if q_mode == "int8" else 2)  # q_scr
-        if q_mode == "int8":
-            scratch += bhb * bq * lanes * 4         # qs
-        # bound_max no longer allocates a qb scratch: the constant bound
-        # folds into m_scr at init (r4 §22 upgrade)
+        scratch += bhb * bq * lanes * 4             # qs rows (all modes, r5)
 
     if kv_resident_steps:
         # staged bf16 upcast tiles persist for the whole q sweep
@@ -150,7 +152,7 @@ def estimate_fwd_vmem(
             scratch += bhb * kv_resident_steps * bkv * d * 2
         scratch += bhb * kv_resident_steps * bkv * dv * 2
 
-    io = bhb * bq * d * 2                           # q block (bf16)
+    io = bhb * bq * d * q_bytes                     # q block
     io += bhb * bkv * d * kv_bytes                  # k block
     io += bhb * bkv * dv * kv_bytes                 # v block
     if bound_max:
@@ -190,8 +192,10 @@ def estimate_bwd_vmem(
     """Model the backward kernels' peak VMEM (ops/flash_bwd.py).
 
     The backward holds more simultaneous (bq, bkv) tiles than the forward
-    (scores s, probabilities p, and dp at once), so ``n_live_tiles``
-    defaults to 3 f32 tiles.
+    (the s → p → ds chain plus dp), but Mosaic streams the chain so the
+    measured effective count is ~1.5 live f32 tiles; ``n_live_tiles``
+    defaults to 2, which matched every observed accept/reject
+    (tests/test_vmem_model.py).
     """
     bhb, bq, bkv = bh_block, block_q, block_kv
     tiles = bhb * bq * bkv * 4 * n_live_tiles
