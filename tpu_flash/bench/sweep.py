@@ -181,17 +181,26 @@ def suite_attention(quick: bool, stream: "str | None" = None) -> list[dict]:
             "dense_int8": {}, "dense_fp8": {},
         }[name]
         sm_scale = 1.0 / math.sqrt(d)
+        # The matched-bitwidth oracle must feed the quantizer EXACTLY what
+        # the kernel's preamble feeds it: q is scaled in f32 BEFORE
+        # quantization (flash_q: `q.astype(f32) * scale`). Scaling in bf16
+        # (`q * sm_scale` on a bf16 q) rounds the quantizer input, flips
+        # grid-boundary fp8/int8 codes, and mis-measures the kernel by up
+        # to ~1e-2 — the r3/r4 "dense_fp8 n=1024 d=128" failure row was
+        # largely THIS gate artifact (kernel-vs-matched-oracle ≈ 1.6e-3
+        # once both the gate input and the scale-folded Q operand were
+        # fixed, scripts/r5 bisection).
         if name == "dense_int8":
             deq = lambda x, dt, ax: qarray.dequantize(
                 qarray.quantize(x.astype(jnp.float32), dt, axis=ax))
-            qf = deq(q * sm_scale, "int8", -1)
+            qf = deq(q.astype(jnp.float32) * sm_scale, "int8", -1)
             kf, vf = deq(k, "int8", -1), deq(v, "int8", -2)
             scale, tol = 1.0, 1e-2
         elif name == "dense_fp8":
             dt = "float8_e4m3fn"
             deq = lambda x, ax: qarray.dequantize(
                 qarray.quantize(x.astype(jnp.float32), dt, axis=ax))
-            qf = deq(q * sm_scale, -1)
+            qf = deq(q.astype(jnp.float32) * sm_scale, -1)
             kf, vf = deq(k, (-2, -1)), deq(v, -2)
             scale, tol = 1.0, 1e-2
         else:
