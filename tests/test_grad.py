@@ -166,3 +166,32 @@ def test_dense_grad_bwd_split(rng, schedule_kw):
         q, k, v,
         atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("schedule_kw", [{}, {"causal": True}])
+def test_bwd_quant_dp(rng, schedule_kw):
+    """bwd_quant="dp" (int8 dO·Vᵀ dots, DESIGN §23 follow-up): gradients
+    stay within the quantized-backward contract (rel ≤ 2.5e-2) against the
+    oracle grads; dv is exact-path and holds the plain tolerance."""
+    q, k, v = _qkv(rng, 1, 2, 256, 128)
+    w = _rand(rng, 1, 2, 256, 128)
+
+    def loss(fn):
+        return jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v) * w), argnums=(0, 1, 2))
+
+    fa = loss(lambda q, k, v: flash.flash_attention(
+        q, k, v, schedule="causal" if schedule_kw else "dense",
+        bwd_quant="dp", **_BLK))(q, k, v)
+    ref = loss(lambda q, k, v: oracle.blockwise_dpa(
+        q, k, v, **schedule_kw)[0])(q, k, v)
+    for name, a, b, tol in zip("qkv", fa, ref, (2.5e-2, 2.5e-2, 1e-3)):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel <= tol, (name, rel)
+
+
+def test_bwd_quant_rejects_unknown_mode(rng):
+    q, k, v = _qkv(rng, 1, 1, 128, 128)
+    with pytest.raises(ValueError, match="quant"):
+        jax.grad(lambda q: jnp.sum(flash.flash_attention(
+            q, k, v, bwd_quant="int4", **_BLK)))(q)

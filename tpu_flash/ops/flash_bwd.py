@@ -67,6 +67,14 @@ _BWD_ISOLATE = ""
 
 @contextlib.contextmanager
 def force_bwd_isolate(mode: str):
+    """Delete one pass inside the backward kernels (outputs WRONG) —
+    measurement only; see module comment for the modes.
+
+    JIT-CACHE HAZARD (shared by :func:`force_bwd_parts`): the mode is a
+    module global read at TRACE time and is NOT part of any jit cache key —
+    a grad function first traced inside the context keeps the wrong kernel
+    after it exits. Measurement scripts must build a fresh callable per
+    mode (scripts/r4_exp6.py does) and never reuse it outside."""
     global _BWD_ISOLATE
     prev = _BWD_ISOLATE
     _BWD_ISOLATE = mode
@@ -76,11 +84,47 @@ def force_bwd_isolate(mode: str):
         _BWD_ISOLATE = prev
 
 
+# Band backward retile override (experiment knob, same jit-cache hazard
+# as the other trace-time globals): None = the measured default below.
+_BWD_BAND_TILE = None
+
+# Route band schedules at d ≤ 64 through the STANDARD backward kernels
+# (bh packing) instead of the transposed layout — the forward measured
+# this dispatch 2.77 → 2.24 ms (bands are step-latency-bound, packing
+# beats full PV lanes; logs/r4_exp8.jsonl); the backward mirror is
+# frozen from the r5 band-backward sweep.
+_BWD_SMALL_D_STANDARD = True
+
+
+@contextlib.contextmanager
+def force_bwd_band_tile(bq: int | None, bkv: int | None):
+    """A/B override for the band backward retile (scripts/r5 band sweep)."""
+    global _BWD_BAND_TILE
+    prev = _BWD_BAND_TILE
+    _BWD_BAND_TILE = None if bq is None else (bq, bkv)
+    try:
+        yield
+    finally:
+        _BWD_BAND_TILE = prev
+
+
+@contextlib.contextmanager
+def force_bwd_small_d_standard(on: bool):
+    global _BWD_SMALL_D_STANDARD
+    prev = _BWD_SMALL_D_STANDARD
+    _BWD_SMALL_D_STANDARD = on
+    try:
+        yield
+    finally:
+        _BWD_SMALL_D_STANDARD = prev
+
+
 @contextlib.contextmanager
 def force_bwd_parts(parts: str):
     """``parts`` ∈ {"both", "dq", "dkv"}. Outputs are WRONG under "dq"/
     "dkv" (the skipped grads are zeros) — measurement only
-    (scripts/r4_exp6.py)."""
+    (scripts/r4_exp6.py). Same jit-cache hazard as
+    :func:`force_bwd_isolate`: trace-time global, not in the cache key."""
     global _BWD_PARTS
     prev = _BWD_PARTS
     _BWD_PARTS = parts
@@ -91,9 +135,26 @@ def force_bwd_parts(parts: str):
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
-    *, sched: Schedule, num_steps: int, split: int = 1, bh_block: int = 1,
+    *refs,
+    sched: Schedule, num_steps: int, split: int = 1, bh_block: int = 1,
+    dp_quant: bool = False,
 ):
+    # dp_quant (VERDICT r4 item 3 — past the ~151 TFLOP/s 5-dot structural
+    # bound of DESIGN §23): the dp = dO·Vᵀ dot runs on the 2× int8 MXU.
+    # ``v_ref``/``do_ref`` then hold int8 values quantized OUTSIDE the
+    # kernel (V per channel; dO prescaled by V's channel scales, then
+    # per-token), and ALL scales are pre-folded so the kernel adds only
+    # the int32→f32 convert: dp = σdo_i·raw, and
+    #   ds = p ⊙ (dp − Δ) = σdo_i ⊙ (p ⊙ (raw − Δ/σdo_i)),
+    # so ``delta_ref`` arrives pre-divided by σdo and the per-row σdo
+    # multiplies the dq EPILOGUE once (``sdo_ref``), not the hot loop.
+    if dp_quant:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, sdo_ref,
+         dq_ref, dq_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+         dq_acc) = refs
+        sdo_ref = None
     i = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
@@ -140,12 +201,24 @@ def _dq_kernel(
                 ps = [(sij - lse) * (1.0 / 4096.0) for sij in sijs]
             else:
                 ps = [jnp.exp2(sij - lse * LOG2E) for sij in sijs]
-            dps = [
-                lax.dot_general(
-                    do.astype(v_ref.dtype), v_ref[bb, h * csz:(h + 1) * csz],
-                    _NT, preferred_element_type=jnp.float32)
-                for h in range(split)
-            ]
+            if dp_quant:
+                # int8·int8 → int32 on the 2× MXU; all scales pre-folded
+                # (σdo into delta/epilogue, σv into dO before quant)
+                dps = [
+                    lax.dot_general(
+                        do, v_ref[bb, h * csz:(h + 1) * csz],
+                        _NT, preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    for h in range(split)
+                ]
+            else:
+                dps = [
+                    lax.dot_general(
+                        do.astype(v_ref.dtype),
+                        v_ref[bb, h * csz:(h + 1) * csz],
+                        _NT, preferred_element_type=jnp.float32)
+                    for h in range(split)
+                ]
             acc = dq_acc[bb]
             for h in range(split):
                 if _BWD_ISOLATE == "nods":
@@ -167,14 +240,34 @@ def _dq_kernel(
     @pl.when(s == num_steps - 1)
     def _finish():
         for bb in range(bh_block):
-            dq_ref[bb] = (dq_acc[bb] * LN2).astype(dq_ref.dtype)
+            if dp_quant:
+                # dq rows are uniformly scaled by σdo_i (ds = σdo·ds_raw):
+                # one epilogue row multiply, zero hot-loop scale work
+                sdo = jnp.expand_dims(sdo_ref[bb, 0], -1)  # (bq, 1)
+                dq_ref[bb] = (dq_acc[bb] * (sdo * LN2)).astype(dq_ref.dtype)
+            else:
+                dq_ref[bb] = (dq_acc[bb] * LN2).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, sched: Schedule, num_steps: int, split: int = 1,
-    bh_block: int = 1,
+    *refs,
+    sched: Schedule, num_steps: int, split: int = 1, bh_block: int = 1,
+    dp_quant: bool = False,
 ):
+    # dp_quant: v_ref holds int8 V̂ (per channel), do8_ref the int8
+    # σv-prescaled per-token dO — the dp dot rides the 2× int8 MXU.
+    # delta_ref arrives pre-divided by σdo; the per-row σdo that ds needs
+    # is pre-folded into ``qs_ref`` (q ⊙ σdo, built outside), so
+    # dk += ds_rawᵀ·(q·σdo) needs no in-kernel scale pass at all. The dv
+    # dot keeps the exact bf16 dO (``do_ref``): P is exact, so dv stays
+    # exact. See _dq_kernel's dp_quant note / DESIGN §23 follow-up.
+    if dp_quant:
+        (q_ref, qs_ref, k_ref, v_ref, do_ref, do8_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+         dk_acc, dv_acc) = refs
+        qs_ref = do8_ref = None
     j = pl.program_id(1)
     s = pl.program_id(2)
     bq, bkv = sched.block_q, sched.block_kv
@@ -229,13 +322,23 @@ def _dkv_kernel(
                         ps[h].astype(dos[h].dtype), dos[h], _TN,
                         preferred_element_type=jnp.float32)
                 dv_acc[bb] = dv_new
-            dps = [
-                lax.dot_general(
-                    dos[h].astype(v.dtype), v, _NT,
-                    preferred_element_type=jnp.float32)
-                for h in range(split)
-            ]
+            if dp_quant:
+                dps = [
+                    lax.dot_general(
+                        do8_ref[bb, h * csz:(h + 1) * csz], v, _NT,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    for h in range(split)
+                ]
+            else:
+                dps = [
+                    lax.dot_general(
+                        dos[h].astype(v.dtype), v, _NT,
+                        preferred_element_type=jnp.float32)
+                    for h in range(split)
+                ]
             if _BWD_ISOLATE != "nodk":
+                dkq_ref = qs_ref if dp_quant else q_ref
                 dk_new = dk_acc[bb]
                 for h in range(split):
                     if _BWD_ISOLATE == "nods":
@@ -243,8 +346,8 @@ def _dkv_kernel(
                     else:
                         ds = ps[h] * (dps[h] - deltas[h])
                     dk_new = dk_new + lax.dot_general(
-                        ds.astype(q_ref.dtype),
-                        q_ref[bb, h * csz:(h + 1) * csz],
+                        ds.astype(dkq_ref.dtype),
+                        dkq_ref[bb, h * csz:(h + 1) * csz],
                         _TN, preferred_element_type=jnp.float32)
                 dk_acc[bb] = dk_new
 
@@ -475,7 +578,7 @@ def _flash_backward_t(
 
 def flash_backward(
     q, k, v, o, lse, do, dlse, sched: Schedule, *, interpret: bool,
-    split: int | None = None,
+    split: int | None = None, quant: str | None = None,
 ):
     """Compute (dq, dk, dv) on padded (BH, n_pad, d) arrays.
 
@@ -483,6 +586,16 @@ def flash_backward(
     it), so no scale appears here — the outer autodiff of the scaling op
     restores it. ``dlse`` (cotangent of the returned lse) folds into the
     delta term: ds_ij = p_ij·(dp_ij − (Δ_i − dlse_i)).
+
+    ``quant="dp"`` runs both dp = dO·Vᵀ dots on the 2× int8 MXU (the
+    only route past the ~151 TFLOP/s 5-dot structural bound, DESIGN §23):
+    V is quantized per channel and dO per token (with V's channel scales
+    pre-folded), all scale algebra folds into the delta operand, the dq
+    epilogue, and a prescaled q operand — the hot loops gain only the
+    int32→f32 convert. dv and the s-recompute stay exact; dq/dk carry
+    ~0.5%-relative dp rounding, inside the ≤2.5e-2 grad gate
+    (tests/test_grad.py::test_bwd_quant_*). d ≤ 64 (transposed kernels)
+    ignores the flag.
     """
     bh, nq_pad, d = q.shape
     nkv_pad = k.shape[1]
@@ -495,10 +608,14 @@ def flash_backward(
     # 512/512/bhb4 = 59.5 TFLOP/s covered vs 33 at the forward defaults.
     # Only when the forward's padding stays block-aligned (fwd blocks are
     # multiples of 512, so it does unless the caller forced odd blocks).
-    if isinstance(sched, (LocalSchedule, CirculantSchedule)):
+    band = isinstance(sched, (LocalSchedule, CirculantSchedule))
+    if band:
         import dataclasses as _dc
 
-        nb_q, nb_kv = min(bq, 512), min(bkv, 512)
+        if _BWD_BAND_TILE is not None:
+            nb_q, nb_kv = _BWD_BAND_TILE
+        else:
+            nb_q, nb_kv = min(bq, 512), min(bkv, 512)
         cand = _dc.replace(sched, block_q=nb_q, block_kv=nb_kv)
         if cand.n_q_pad == nq_pad and cand.n_kv_pad == nkv_pad:
             sched, bq, bkv = cand, nb_q, nb_kv
@@ -506,6 +623,33 @@ def flash_backward(
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
+
+    dp_quant = quant == "dp" and not (d <= 64 and dv_dim <= 64)
+    if quant not in (None, "dp"):
+        raise ValueError(f"unknown bwd quant mode {quant!r}")
+    sdo3 = qs_arr = v8 = do8 = None
+    if dp_quant:
+        # Quantize ONCE outside the kernels (one pass over (bh, n, d)
+        # operands — amortized over every block):
+        #   v8 per channel; dO prescaled by V's channel scales then
+        #   quantized per token, so dp = σdo_i · (do8 · v8ᵀ) exactly.
+        # The scale algebra then folds AWAY from the hot loops:
+        #   ds = p(dp − Δ) = σdo ⊙ (p(raw − Δ/σdo))  → delta := Δ/σdo,
+        #   dq = σdo ⊙ Σ ds_raw·K                    → dq epilogue row,
+        #   dk = Σ ds_rawᵀ·(q ⊙ σdo)                 → prescaled q operand.
+        v32 = v.astype(jnp.float32)
+        sv = jnp.maximum(
+            jnp.max(jnp.abs(v32), axis=1, keepdims=True), 1e-12) / 127.0
+        v8 = jnp.clip(jnp.round(v32 / sv), -127, 127).astype(jnp.int8)
+        do_eff = do.astype(jnp.float32) * sv  # (bh, n, dv)
+        sdo = jnp.maximum(
+            jnp.max(jnp.abs(do_eff), axis=-1, keepdims=True), 1e-30) / 127.0
+        do8 = jnp.clip(jnp.round(do_eff / sdo), -127, 127).astype(jnp.int8)
+        sdo_row = sdo[..., 0]                  # (bh, nq_pad)
+        delta = delta / sdo_row
+        qs_arr = (q.astype(jnp.float32) * sdo).astype(q.dtype)
+        sdo3 = sdo_row[:, None, :]
+
     # Padded / fully-masked rows have lse = −inf ⇒ p would be exp(+inf).
     # Clamp those rows to +big so p underflows to 0 instead.
     lse_safe = jnp.where(jnp.isfinite(lse), lse, 3e38).astype(jnp.float32)
@@ -521,9 +665,12 @@ def flash_backward(
             f"split={split} must divide block_q={bq} and block_kv={bkv} "
             "into 128-aligned sub-tiles")
 
-    if d <= 64 and dv_dim <= 64:
+    if d <= 64 and dv_dim <= 64 and not (band and _BWD_SMALL_D_STANDARD):
         # the transposed kernels have no sub-tile staging; split is ignored
-        # (but still validated above so a bad value errors on every path)
+        # (but still validated above so a bad value errors on every path).
+        # Band schedules skip the transposed layout: they are
+        # step-latency-bound, so the standard kernels' bh packing beats
+        # full output lanes (the forward's r4_exp8 dispatch, mirrored).
         return _flash_backward_t(
             q, k, v, lse3, delta3, sched, interpret=interpret, do=do
         )
@@ -567,12 +714,13 @@ def flash_backward(
 
     # ---- dQ: Q-major grid, forward schedule.
     dq_steps = sched.max_kv_steps
+    row_spec = pl.BlockSpec((bhb, 1, bq), lambda b, i, s: (b, 0, i))
     if _BWD_PARTS in ("dkv", "none"):
         dq = jnp.zeros((bh, nq_pad, d), q.dtype)
     else:
         dq = pl.pallas_call(
         functools.partial(_dq_kernel, sched=sched, num_steps=dq_steps,
-                          split=split, bh_block=bhb),
+                          split=split, bh_block=bhb, dp_quant=dp_quant),
         grid=(bh // bhb, num_q_blocks, dq_steps),
         in_specs=[
             pl.BlockSpec((bhb, bq, d), lambda b, i, s: (b, i, 0)),
@@ -585,9 +733,9 @@ def flash_backward(
                 lambda b, i, s, _s=sched: (b, _s.kv_block_index(i, s), 0),
             ),
             pl.BlockSpec((bhb, bq, dv_dim), lambda b, i, s: (b, i, 0)),
-            pl.BlockSpec((bhb, 1, bq), lambda b, i, s: (b, 0, i)),
-            pl.BlockSpec((bhb, 1, bq), lambda b, i, s: (b, 0, i)),
-        ],
+            row_spec,
+            row_spec,
+        ] + ([row_spec] if dp_quant else []),
         out_specs=pl.BlockSpec((bhb, bq, d), lambda b, i, s: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bhb, bq, d), jnp.float32)],
@@ -596,7 +744,9 @@ def flash_backward(
             vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse3, delta3)
+    )(q, k,
+      *((v8, do8) if dp_quant else (v, do)),
+      lse3, delta3, *((sdo3,) if dp_quant else ()))
 
     # ---- dK/dV: KV-major grid, transposed schedule.
     dkv_steps = sched.max_q_steps
@@ -604,29 +754,30 @@ def flash_backward(
         dk = jnp.zeros((bh, nkv_pad, d), k.dtype)
         dv = jnp.zeros((bh, nkv_pad, dv_dim), v.dtype)
     else:
+        q_spec = pl.BlockSpec(
+            (bhb, bq, d),
+            lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0))
+        do_spec = pl.BlockSpec(
+            (bhb, bq, dv_dim),
+            lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0))
+        qrow_spec = pl.BlockSpec(
+            (bhb, 1, bq),
+            lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s)))
         dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sched=sched, num_steps=dkv_steps,
-                          split=split, bh_block=bhb),
+                          split=split, bh_block=bhb, dp_quant=dp_quant),
         grid=(bh // bhb, num_kv_blocks, dkv_steps),
-        in_specs=[
-            pl.BlockSpec(
-                (bhb, bq, d),
-                lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0)
-            ),
+        in_specs=[q_spec]
+        + ([q_spec] if dp_quant else [])  # qs_arr = q ⊙ σdo
+        + [
             pl.BlockSpec((bhb, bkv, d), lambda b, j, s: (b, j, 0)),
             pl.BlockSpec((bhb, bkv, dv_dim), lambda b, j, s: (b, j, 0)),
-            pl.BlockSpec(
-                (bhb, bq, dv_dim),
-                lambda b, j, s, _s=sched: (b, _s.q_block_index(j, s), 0),
-            ),
-            pl.BlockSpec(
-                (bhb, 1, bq),
-                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s))
-            ),
-            pl.BlockSpec(
-                (bhb, 1, bq),
-                lambda b, j, s, _s=sched: (b, 0, _s.q_block_index(j, s))
-            ),
+            do_spec,
+        ]
+        + ([do_spec] if dp_quant else [])  # do8
+        + [
+            qrow_spec,
+            qrow_spec,
         ],
         out_specs=[
             pl.BlockSpec((bhb, bkv, d), lambda b, j, s: (b, j, 0)),
@@ -645,6 +796,8 @@ def flash_backward(
             vmem_limit_bytes=vmem_bytes,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse3, delta3)
+    )(q, *((qs_arr,) if dp_quant else ()), k,
+      *((v8, do, do8) if dp_quant else (v, do)),
+      lse3, delta3)
 
     return dq, dk, dv
