@@ -587,3 +587,94 @@ def test_decode_steps_stop_sequence(params):
     plain, multi = run(1, stop), run(8, stop)
     assert multi.tokens == plain.tokens
     assert multi.reason == plain.reason == "stop"
+
+
+def test_async_decode_matches_sync(params):
+    """async_decode keeps one K-round dispatch in flight (chained on the
+    previous round's device outputs); committed token/logprob streams must
+    be BIT-identical to the synchronous loop — same kernels, same
+    key-split order, only the fetch timing differs."""
+    rng = np.random.default_rng(17)
+    prompts = [list(rng.integers(1, 255, 9)), list(rng.integers(1, 255, 14)),
+               list(rng.integers(1, 255, 6))]
+
+    def run(async_decode):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, decode_steps=4,
+                                  async_decode=async_decode))
+        # 3 requests over max_batch=2: admissions mid-stream break the
+        # chain; mixed lengths force early finishes mid-round.
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p, max_new_tokens=7 + 3 * i,
+                               temperature=0.5 if i == 1 else 0.0))
+        done = {r.rid: r for r in eng.run()}
+        return done
+
+    sync, asy = run(False), run(True)
+    assert set(sync) == set(asy)
+    for rid in sync:
+        assert asy[rid].tokens == sync[rid].tokens, rid
+        assert asy[rid].reason == sync[rid].reason, rid
+        np.testing.assert_allclose(asy[rid].logprobs, sync[rid].logprobs,
+                                   atol=1e-6)
+
+
+def test_async_decode_eos_mid_round(params):
+    """An eos landing mid-round with a round already in flight: the stale
+    round's tokens for the finished lane are discarded, the survivor's are
+    kept, and a follow-up request on the recycled slot decodes cleanly."""
+    rng = np.random.default_rng(19)
+    p1 = list(rng.integers(1, 255, 10))
+    p2 = list(rng.integers(1, 255, 7))
+
+    def run(async_decode):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, decode_steps=4,
+                                  async_decode=async_decode))
+        eng.submit(Request(rid=0, prompt=p1, max_new_tokens=20))
+        base = eng.run()[0]
+        # eos = the 6th generated token → fires mid-round at K=4
+        eos = base.new_tokens[5]
+        eng2 = Engine(params, _MCFG, _cache_cfg("float32"),
+                      EngineConfig(max_batch=2, decode_steps=4,
+                                   async_decode=async_decode))
+        eng2.submit(Request(rid=0, prompt=p1, max_new_tokens=20,
+                            eos_id=eos))
+        eng2.submit(Request(rid=1, prompt=p2, max_new_tokens=15))
+        done = {r.rid: r for r in eng2.run()}
+        eng2.submit(Request(rid=2, prompt=p1, max_new_tokens=5))
+        done.update({r.rid: r for r in eng2.run()})
+        return done
+
+    sync, asy = run(False), run(True)
+    for rid in sync:
+        assert asy[rid].tokens == sync[rid].tokens, rid
+        assert asy[rid].reason == sync[rid].reason, rid
+
+
+def test_prefill_bound_max_tolerance(params):
+    """The causal norm-bound prefill fast path (EngineConfig.
+    prefill_bound_max) is a TOLERANCE contract: greedy tokens and
+    logprobs stay close to the exact-max engine (both are exact online
+    softmax; the bound only reorders fp rounding), chunked prefill
+    included. Decode is pinned exact either way."""
+    rng = np.random.default_rng(23)
+    prompt = list(rng.integers(1, 255, 75))
+
+    def run(fast, chunk=None):
+        eng = Engine(params, _MCFG, _cache_cfg("float32"),
+                     EngineConfig(max_batch=2, chunk_size=chunk,
+                                  prefill_bound_max=fast))
+        eng.submit(Request(rid=0, prompt=prompt, max_new_tokens=6))
+        return eng.run()[0]
+
+    base = run(False)
+    fast = run(True)
+    fast_chunked = run(True, chunk=32)
+    # f32 cache + tiny model: the bound shifts rounding only; greedy
+    # streams agree and logprobs sit within kernel-noise tolerance.
+    assert fast.tokens == base.tokens
+    assert fast_chunked.tokens == base.tokens
+    np.testing.assert_allclose(fast.logprobs, base.logprobs, atol=5e-3)
+    np.testing.assert_allclose(fast_chunked.logprobs, base.logprobs,
+                               atol=5e-3)

@@ -48,6 +48,7 @@ def save_checkpoint(path: str, engine: Engine) -> None:
             "cannot snapshot with chunked prefills in flight; step the "
             "engine until engine.prefilling is empty"
         )
+    engine.flush()  # commit any async decode round before snapshotting
 
     arrays = {
         "params": engine.params,

@@ -38,10 +38,23 @@ from tpu_flash.cache.paged_cache import CacheConfig, PagedKVCache
 from tpu_flash.models import transformer as tfm
 
 
-def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
+def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key,
+                   positions=None) -> jnp.ndarray:
     """On-device next-token choice. ``samp``: (B, 3) f32 rows of
     [temperature, top_k, top_p] — greedy for temp<=0, Gumbel-max over the
     (optionally top-k / nucleus-truncated) scaled distribution otherwise.
+
+    Sampling noise is keyed two ways:
+    * ``positions`` given (the serving paths): ``key`` is a (B, 2) array
+      of PER-REQUEST base keys and lane i draws from
+      ``fold_in(key[i], positions[i])`` — the position the sampled token
+      will occupy. Sampling is then a pure function of (request seed,
+      position): BATCHING-INVARIANT (a request's stream never depends on
+      its co-batched neighbors, lane index, chunking, preemption/resume,
+      or the async decode chain) and replay-stable across checkpoints.
+    * ``positions=None`` (the speculative draft/verify paths): ``key`` is
+      one engine-stream key for the whole batch (acceptance there is a
+      distributional law, not a bitwise contract — DESIGN §18).
 
     Keeps the decode loop's host traffic to one int per lane per step —
     fetching full logits over the device link costs more than the step
@@ -53,19 +66,27 @@ def _device_sample(logits: jnp.ndarray, samp: jnp.ndarray, key) -> jnp.ndarray:
     temps, top_k, top_p = samp[:, 0], samp[:, 1], samp[:, 2]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = _truncated_scores(logits, samp)
-    u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+    v = logits.shape[-1]
+    if positions is None:
+        u = jax.random.uniform(key, logits.shape, jnp.float32, 1e-20, 1.0)
+    else:
+        lane_keys = jax.vmap(jax.random.fold_in)(
+            key, positions.astype(jnp.uint32))
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (v,), jnp.float32, 1e-20, 1.0)
+        )(lane_keys)
     gumbel = -jnp.log(-jnp.log(u))
     sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temps <= 0.0, greedy, sampled)
 
 
-def _sample_packed(logits, samp, key):
+def _sample_packed(logits, samp, key, positions=None):
     """(token, logprob) packed into one (B, 2) f32 array — a single
     device fetch per decode step (each fetched buffer is a ~30 ms round
     trip under the TPU tunnel). The logprob is the chosen token's raw
     log-softmax (the model distribution, untempered — the standard
-    serving-API quantity)."""
-    tok = _device_sample(logits, samp, key)
+    serving-API quantity). Key semantics as :func:`_device_sample`."""
+    tok = _device_sample(logits, samp, key, positions)
     lp = jnp.take_along_axis(
         jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
         tok[:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -222,8 +243,24 @@ class EngineConfig:
     # repeated prefixes skip both prefill compute and page memory
     # (serving/prefix_cache.py); evicted LRU-first under pool pressure
     prefix_cache_entries: int = 4096
+    prefill_bound_max: bool = False  # inference fast path: run PREFILL
+    # causal attention with the constant norm-bound max (+14% measured
+    # forward, 105.5 → 120.0 TFLOP/s @8k d=128, logs/r4_exp9.jsonl).
+    # RELAXES the engine's chunked-vs-unchunked prefill contract from
+    # bit-identical to a tolerance: the bound depends on the kv span each
+    # chunk sees, so chunked prefill logits differ from unchunked in the
+    # last bits (may flip near-tie samples). Decode is untouched (paged
+    # kernels, exact max). Off by default — the bitwise contract stands
+    # unless the deployment opts into the speed.
     metrics_path: Optional[str] = None  # per-step JSONL metrics stream
     speculate_k: int = 0  # speculative decoding: tokens verified per round
+    async_decode: bool = True  # keep ONE decode dispatch in flight: round
+    # N+1 is issued chained on round N's device outputs before N's tokens
+    # are fetched, hiding the host↔device round trip (the ~30 ms tunnel
+    # dispatch floor) behind device work. Commit order, finish logic and
+    # the token stream are bit-identical to the synchronous loop; the
+    # chain flushes on any composition change. Applies to the
+    # decode_steps > 1 scan path (plain/speculative rounds always flush).
     decode_steps: int = 1  # >1: scan K decode iterations in ONE device call
     # (sampling + append on-device), so the host pays one dispatch per K
     # tokens — decode is step-overhead-bound through the tunnel (~30 ms
@@ -251,11 +288,24 @@ class Engine:
     ):
         self.params = params
         # Pin the exact running max for every prefill kernel call: the
-        # norm-bound max (the library auto-default for causal schedules,
-        # logs/r4_exp9.jsonl) depends on the kv SPAN each call sees, and
-        # the engine guarantees bit-identical streams across chunked vs
+        # norm-bound max depends on the kv SPAN each call sees, and the
+        # engine guarantees bit-identical streams across chunked vs
         # unchunked prefill (tests/test_engine.py) and across resume.
+        # An explicitly-True caller config is an error, not a silent
+        # overwrite (advisor r4): the caller asked for semantics the
+        # engine's contract forbids.
+        if model_cfg.attn_bound_max:
+            raise ValueError(
+                "attn_bound_max=True breaks the engine's bit-identical "
+                "chunked-vs-unchunked prefill contract (the norm bound "
+                "depends on the kv span each chunk sees); leave it None")
         self.mcfg = dataclasses.replace(model_cfg, attn_bound_max=False)
+        # Prefill may opt into the norm-bound causal fast path (a
+        # tolerance contract — see EngineConfig.prefill_bound_max);
+        # decode always keeps the exact-max pin above.
+        self.mcfg_prefill = (
+            dataclasses.replace(model_cfg, attn_bound_max=True)
+            if engine_cfg.prefill_bound_max else self.mcfg)
         self.ccfg = cache_cfg
         self.ecfg = engine_cfg
         self.mesh = mesh
@@ -343,6 +393,11 @@ class Engine:
             )
         self._rng = np.random.default_rng(engine_cfg.seed)
         self._key = jax.random.PRNGKey(engine_cfg.seed)
+        self._inflight = None  # async decode: the one dispatched round
+        # Per-request sampling base keys (see _device_sample): derived
+        # purely from (engine seed, rid), so they need no checkpoint state
+        # and survive preemption/resume/batching changes unchanged.
+        self._req_keys: dict = {}
         self._decode_fns = {}
         self._prefill_fns = {}
         self._write_fns = {}
@@ -379,7 +434,9 @@ class Engine:
                     )
                     for c in caches
                 ]
-                return _sample_packed(logits, samp, key), caches
+                # key: (B, 2) per-REQUEST base keys; the sampled token
+                # lands at positions+1 — see _device_sample
+                return _sample_packed(logits, samp, key, positions + 1), caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -416,10 +473,9 @@ class Engine:
             pipelined = self.ecfg.pipelined_decode
 
             def run(params, lora, caches, tokens, positions, slots, samp,
-                    aids, key):
+                    aids, keys):
                 def body(carry, _):
-                    tokens, positions, key, caches = carry
-                    key, sub = jax.random.split(key)
+                    tokens, positions, caches = carry
                     logits, caches = tfm.decode_step(
                         params, tokens, positions, caches, slots, mcfg,
                         pages_bound=pages_bound, tp_axis=axis,
@@ -431,13 +487,18 @@ class Engine:
                         )
                         for c in caches
                     ]
-                    packed = _sample_packed(logits, samp, sub)
+                    # per-(request, position) sampling keys: the scan body
+                    # IS the plain step bit-for-bit (same fold_in), so a
+                    # K-step call ≡ K plain calls regardless of K
+                    packed = _sample_packed(logits, samp, keys, positions + 1)
                     ntok = packed[:, 0].astype(jnp.int32)
-                    return (ntok, positions + 1, key, caches), packed
+                    return (ntok, positions + 1, caches), packed
 
-                (_, _, key, caches), packs = jax.lax.scan(
-                    body, (tokens, positions, key, caches), None, length=K)
-                return jnp.moveaxis(packs, 0, 1), key, caches
+                (ntok, npos, caches), packs = jax.lax.scan(
+                    body, (tokens, positions, caches), None, length=K)
+                # ntok/npos feed a CHAINED next round without a host fetch
+                # (the async decode loop — VERDICT r4 next-round item 6)
+                return jnp.moveaxis(packs, 0, 1), ntok, npos, caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -450,7 +511,7 @@ class Engine:
                 run = jax.shard_map(
                     run, mesh=self.mesh,
                     in_specs=(pp, None, cs, P(), P(), P(), P(), P(), P()),
-                    out_specs=(P(), P(), cs),
+                    out_specs=(P(), P(), P(), cs),
                     check_vma=False,
                 )
             self._decode_fns[fkey] = jax.jit(run, donate_argnums=(2,))
@@ -490,7 +551,7 @@ class Engine:
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill_fns:
-            mcfg, axis = self.mcfg, self.tp_axis
+            mcfg, axis = self.mcfg_prefill, self.tp_axis
 
             def run(params, lora, tokens, length, samp, aid, key):
                 logits_all, kv = _prefill_all_logits(
@@ -500,7 +561,10 @@ class Engine:
                 logits = jax.lax.dynamic_index_in_dim(
                     logits_all, length - 1, axis=1, keepdims=False
                 )
-                tok_lp = _sample_packed(logits, samp[None], key)[0]
+                # key: the request's base key; the first sampled token
+                # lands at position `length`
+                tok_lp = _sample_packed(
+                    logits, samp[None], key[None], length[None])[0]
                 return tok_lp, kv
 
             if self.mesh is not None:
@@ -842,6 +906,7 @@ class Engine:
         while (self.waiting or self.running or self.prefilling) and steps < max_steps:
             self.step()
             steps += 1
+        self.flush()  # commit any async round left in flight
         return self.finished
 
     def stream(self, max_steps: int = 10_000):
@@ -860,9 +925,10 @@ class Engine:
         state: dict[int, list] = {}
         done_seen = 0
         steps = 0
-        while (self.waiting or self.running or self.prefilling) and steps < max_steps:
-            self.step()
-            steps += 1
+
+        def _drain():
+            nonlocal done_seen
+            out = []
             for r in list(self.running.values()):
                 st = state.setdefault(r.rid, [r.prompt_len, 0])
                 if r.prompt_len > st[0]:
@@ -870,19 +936,39 @@ class Engine:
                     st[0] = r.prompt_len
                 n = len(r.tokens) - r.prompt_len
                 for i in range(st[1], n):
-                    yield (r.rid, r.tokens[r.prompt_len + i],
-                           r.logprobs[i] if i < len(r.logprobs) else None)
+                    out.append((r.rid, r.tokens[r.prompt_len + i],
+                                r.logprobs[i] if i < len(r.logprobs)
+                                else None))
                 st[1] = n
             while done_seen < len(self.finished):
                 f = self.finished[done_seen]
                 done_seen += 1
                 st = state.pop(f.rid, [0, 0])
                 for i in range(st[1], len(f.new_tokens)):
-                    yield (f.rid, f.new_tokens[i],
-                           f.logprobs[i] if i < len(f.logprobs) else None)
-                yield f
+                    out.append((f.rid, f.new_tokens[i],
+                                f.logprobs[i] if i < len(f.logprobs)
+                                else None))
+                out.append(f)
+            return out
+
+        while (self.waiting or self.running or self.prefilling) and steps < max_steps:
+            self.step()
+            steps += 1
+            yield from _drain()
+        self.flush()  # commit any async round left in flight
+        yield from _drain()
 
     # ---- internals ------------------------------------------------------
+
+    def _key_for(self, rid: int) -> np.ndarray:
+        """The request's sampling base key: fold_in(PRNGKey(seed), rid).
+        Pure in (seed, rid) — reproducible across resume and re-admission."""
+        k = self._req_keys.get(rid)
+        if k is None:
+            k = np.asarray(jax.random.fold_in(
+                jax.random.PRNGKey(self.ecfg.seed), rid & 0x7FFFFFFF))
+            self._req_keys[rid] = k
+        return k
 
     def _bucket(self, n: int) -> int:
         for b in self.ecfg.prefill_buckets:
@@ -1039,7 +1125,7 @@ class Engine:
         temperature>0 output depend on chunk_size."""
         key = ("chunk", chunk, pages_bound, final)
         if key not in self._prefill_fns:
-            mcfg, axis = self.mcfg, self.tp_axis
+            mcfg, axis = self.mcfg_prefill, self.tp_axis
 
             def run(params, lora, caches, tokens, offset, true_len, slot,
                     samp, aid, k):
@@ -1053,7 +1139,10 @@ class Engine:
                 last = jax.lax.dynamic_index_in_dim(
                     logits[0], true_len - 1, keepdims=False
                 )
-                return _sample_packed(last[None], samp[None], k)[0], caches
+                # first sampled token's absolute position = offset+true_len
+                return _sample_packed(
+                    last[None], samp[None], k[None],
+                    (offset + true_len)[None])[0], caches
 
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
@@ -1093,10 +1182,7 @@ class Engine:
         while pb < need:
             pb *= 2
         pb = min(pb, self.ccfg.max_pages_per_seq)
-        if final:
-            self._key, sub = jax.random.split(self._key)
-        else:
-            sub = self._key  # unused by the non-final variant
+        sub = jnp.asarray(self._key_for(req.rid))  # unused by non-final
         tok_lp, self.caches = self._chunk_fn(cs, pb, final)(
             self.params, self.lora, self.caches, jnp.asarray(toks),
             jnp.int32(done), jnp.int32(true_n), jnp.int32(slot),
@@ -1162,11 +1248,11 @@ class Engine:
         n = len(req.prompt)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = req.prompt
-        self._key, sub = jax.random.split(self._key)
         tok_lp, kv = self._prefill_fn(bucket)(
             self.params, self.lora, jnp.asarray(toks), jnp.int32(n),
             jnp.asarray([req.temperature, req.top_k, req.top_p],
-                        jnp.float32), jnp.int32(req.adapter_id), sub,
+                        jnp.float32), jnp.int32(req.adapter_id),
+            jnp.asarray(self._key_for(req.rid)),
         )
         # one donated jit writes every layer's K/V (padded tail is
         # page-covered and masked by length).
@@ -1278,6 +1364,15 @@ class Engine:
         )
 
     def _decode(self) -> None:
+        # With a round in flight, host lengths lag the device by K — the
+        # capacity probe must cover the in-flight appends too. Any
+        # shortfall breaks the chain first, so finish/preempt below run
+        # against exactly-committed state.
+        if self._inflight is not None:
+            ka = self._inflight["K"]
+            if any(self._ensure_capacity(s, ahead=ka + 1) != "ok"
+                   for s in sorted(self.running)):
+                self.flush()
         # capacity check first (may finish at-cap sequences or preempt)
         for slot in sorted(self.running):
             status = self._ensure_capacity(slot)
@@ -1286,8 +1381,13 @@ class Engine:
             elif status == "pool":
                 self._preempt(slot)
         if not self.running:
+            self.flush()  # every in-flight lane is dead — drain it
             return
         K = self.ecfg.speculate_k
+        if self._draft is not None and K > 1:
+            self.flush()  # speculative rounds need committed state
+            if not self.running:
+                return
         if self._draft is not None and K > 1:
             # every lane must page-cover the K pre-acceptance writes — a
             # lane that can't (cap or pool) degrades the whole round to
@@ -1307,11 +1407,18 @@ class Engine:
             while K < min(self.ecfg.decode_steps, remaining):
                 K *= 2
             K = min(K, self.ecfg.decode_steps)
+            # chained rounds stack K in-flight appends on top of the next
+            # round's K — cover both before issuing (see _decode_multi)
+            ka = K + (self._inflight["K"] if self._inflight is not None
+                      else 0)
             if K > 1 and all(
-                    self._ensure_capacity(s, ahead=K) == "ok"
+                    self._ensure_capacity(s, ahead=ka) == "ok"
                     for s in sorted(self.running)[:self.ecfg.max_batch]):
                 self._decode_multi(K)
                 return
+        self.flush()  # the plain path fetches synchronously
+        if not self.running:
+            return
         mb = self.ecfg.max_batch
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
@@ -1319,6 +1426,7 @@ class Engine:
         samp_np = np.zeros((mb, 3), np.float32)
         samp_np[:, 2] = 1.0  # idle lanes: top_p disabled
         aids_np = np.full(mb, -1, np.int32)
+        keys_np = np.zeros((mb, 2), np.uint32)
         lanes = []
         for lane, slot in enumerate(sorted(self.running)):
             if lane >= mb:
@@ -1329,8 +1437,8 @@ class Engine:
             pos_np[lane] = len(r.tokens) - 1  # position of the new token
             samp_np[lane] = (r.temperature, r.top_k, r.top_p)
             aids_np[lane] = r.adapter_id
+            keys_np[lane] = self._key_for(r.rid)
             lanes.append(slot)
-        self._key, sub = jax.random.split(self._key)
         packed, self.caches = self._decode_fn(self._pages_bound())(
             self.params,
             self.lora,
@@ -1340,7 +1448,7 @@ class Engine:
             jnp.asarray(slots_np),
             jnp.asarray(samp_np),
             jnp.asarray(aids_np),
-            sub,
+            jnp.asarray(keys_np),
         )
         packed = np.asarray(packed)
         for lane, slot in enumerate(lanes):
@@ -1352,16 +1460,11 @@ class Engine:
             self._tokens_out += 1
             self._maybe_finish(slot)
 
-    def _decode_multi(self, K: int) -> None:
-        """One device dispatch advancing every running lane by K tokens.
-
-        All K tokens' K/V append on-device (capacity pre-covered via
-        ``_ensure_capacity(ahead=K)``); the host then commits tokens in
-        order through the normal finish logic and rolls each slot's cache
-        length back to the committed count — tokens generated past an
-        eos/stop/length finish are discarded exactly like speculative
-        rejections (their K/V stays as length-masked garbage).
-        """
+    def _decode_composition(self):
+        """Host-side arrays describing the current decode batch, plus the
+        chain signature (everything the jitted call consumes EXCEPT tokens
+        and positions — those are what an async chained round takes from
+        the previous round's device outputs)."""
         mb = self.ecfg.max_batch
         slots_np = np.full(mb, self._trash_slot, np.int32)
         toks_np = np.zeros(mb, np.int32)
@@ -1369,6 +1472,7 @@ class Engine:
         samp_np = np.zeros((mb, 3), np.float32)
         samp_np[:, 2] = 1.0  # idle lanes: top_p disabled
         aids_np = np.full(mb, -1, np.int32)
+        keys_np = np.zeros((mb, 2), np.uint32)
         lanes = []
         for lane, slot in enumerate(sorted(self.running)):
             if lane >= mb:
@@ -1379,42 +1483,144 @@ class Engine:
             pos_np[lane] = len(r.tokens) - 1
             samp_np[lane] = (r.temperature, r.top_k, r.top_p)
             aids_np[lane] = r.adapter_id
+            keys_np[lane] = self._key_for(r.rid)
             lanes.append(slot)
-        packed, self._key, self.caches = self._decode_multi_fn(
-            self._pages_bound(ahead=K), K)(
-            self.params,
-            self.lora,
-            self.caches,
-            jnp.asarray(toks_np),
-            jnp.asarray(pos_np),
-            jnp.asarray(slots_np),
-            jnp.asarray(samp_np),
-            jnp.asarray(aids_np),
-            self._key,
-        )
-        packed = np.asarray(packed)  # (mb, K, 2)
-        for j in range(K):
-            for lane, slot in enumerate(lanes):
+        sig = (tuple(lanes), samp_np.tobytes(), aids_np.tobytes(),
+               keys_np.tobytes())
+        return (lanes, slots_np, toks_np, pos_np, samp_np, aids_np,
+                keys_np, sig)
+
+    def _commit_round(self, info) -> None:
+        """Fetch a dispatched K-round and commit its tokens through the
+        normal finish logic. Lanes that finished at an earlier j (or in an
+        earlier round, for a flushed in-flight round) are discarded
+        exactly like speculative rejections."""
+        packed = np.asarray(info["packed"])  # (mb, K, 2)
+        for j in range(info["K"]):
+            for lane, slot in enumerate(info["lanes"]):
                 if slot not in self.running:
-                    continue  # finished at an earlier j; discard the rest
+                    continue  # finished earlier; discard the rest
                 r = self.running[slot]
+                if r.rid != info["rids"][lane]:
+                    continue  # slot recycled by a NEWER request — discard
                 tok = int(packed[lane, j, 0])
                 r.tokens.append(tok)
                 r.next_token = tok
                 r.logprobs.append(float(packed[lane, j, 1]))
                 self._tokens_out += 1
                 self._maybe_finish(slot)
+
+    def _rollback_lengths(self, info) -> None:
         # Roll cache lengths back to the committed counts. Engine invariant:
         # device length = len(r.tokens) − 1 (the pending next_token's K/V is
         # appended by the NEXT call). Surviving lanes already sit there
-        # (a same-value set); finished/freed slots go to 0.
-        lens_np = np.zeros(mb, np.int32)
+        # (a same-value set); finished/freed slots go to 0 — unless the
+        # slot was already recycled by a newer request, whose own
+        # committed length stands.
+        lanes, slots_np = info["lanes"], info["slots_np"]
+        lens_np = np.zeros(len(lanes), np.int32)
         for lane, slot in enumerate(lanes):
             r = self.running.get(slot)
-            lens_np[lane] = len(r.tokens) - 1 if r is not None else 0
+            if r is not None and r.rid == info["rids"][lane]:
+                lens_np[lane] = len(r.tokens) - 1
         self.caches = self._set_lengths_fn()(
             self.caches, jnp.asarray(slots_np[:len(lanes)]),
-            jnp.asarray(lens_np[:len(lanes)]))
+            jnp.asarray(lens_np))
+
+    def flush(self) -> None:
+        """Commit any in-flight async decode round (async_decode mode).
+
+        Callers that need the host view exactly synced with the device —
+        checkpointing, external cache surgery — call this first; the
+        engine's own step loop flushes automatically whenever the batch
+        composition changes or capacity tightens."""
+        info, self._inflight = self._inflight, None
+        if info is None:
+            return
+        self._commit_round(info)
+        self._rollback_lengths(info)
+
+    def _decode_multi(self, K: int) -> None:
+        """One device dispatch advancing every running lane by K tokens.
+
+        All K tokens' K/V append on-device (capacity pre-covered via
+        ``_ensure_capacity(ahead=K)``); the host commits tokens in order
+        through the normal finish logic — tokens generated past an
+        eos/stop/length finish are discarded exactly like speculative
+        rejections (their K/V stays as length-masked garbage).
+
+        With ``async_decode`` (default), ONE dispatch is kept in flight:
+        round N+1 is issued BEFORE round N's tokens are fetched, chained
+        on round N's on-device ``(tokens, positions)`` outputs — the
+        host fetch (a full tunnel round trip, the measured ~30 ms dispatch
+        floor that left e2e at ~1% of device throughput,
+        logs/decode.jsonl r4) overlaps the next round's device work, and
+        the steady state pays ZERO host→device input transfers. The chain
+        breaks (flush: fetch + commit + length rollback) whenever the
+        batch composition changes — a finish, an admission, a preemption.
+        Sampling is keyed per (request, position) (_device_sample), so the
+        committed stream is bit-identical to the synchronous loop.
+        """
+        (lanes, slots_np, toks_np, pos_np, samp_np, aids_np, keys_np,
+         sig) = self._decode_composition()
+        use_async = self.ecfg.async_decode
+        inflight = self._inflight
+        if inflight is not None:
+            if (use_async and inflight["sig"] == sig
+                    and inflight["K"] == K):
+                # chained issue: tokens/positions come from the previous
+                # round's device outputs; slots/samp/aids/keys reuse the
+                # already-transferred device arrays.
+                info = self._issue_round(
+                    K, lanes, slots_np,
+                    inflight["ntok"], inflight["npos"],
+                    inflight["slots_dev"], inflight["samp_dev"],
+                    inflight["aids_dev"], inflight["keys_dev"], sig,
+                    pages_ahead=2 * K)
+                self._inflight = info
+                self._commit_round(inflight)
+                # finishes during this commit change the composition; the
+                # NEXT call's sig mismatch flushes the new round cleanly.
+                return
+            self.flush()
+            # the flush may have finished lanes / freed slots — rebuild
+            (lanes, slots_np, toks_np, pos_np, samp_np, aids_np, keys_np,
+             sig) = self._decode_composition()
+            if not lanes:
+                return
+        info = self._issue_round(
+            K, lanes, slots_np,
+            jnp.asarray(toks_np), jnp.asarray(pos_np),
+            jnp.asarray(slots_np), jnp.asarray(samp_np),
+            jnp.asarray(aids_np), jnp.asarray(keys_np), sig,
+            pages_ahead=2 * K if use_async else K)
+        if use_async:
+            self._inflight = info
+            return
+        self._commit_round(info)
+        self._rollback_lengths(info)
+
+    def _issue_round(self, K, lanes, slots_np, toks, pos, slots_dev,
+                     samp_dev, aids_dev, keys_dev, sig, *, pages_ahead):
+        packed, ntok, npos, self.caches = self._decode_multi_fn(
+            self._pages_bound(ahead=pages_ahead), K)(
+            self.params,
+            self.lora,
+            self.caches,
+            toks,
+            pos,
+            slots_dev,
+            samp_dev,
+            aids_dev,
+            keys_dev,
+        )
+        return dict(
+            packed=packed, ntok=ntok, npos=npos, K=K, sig=sig,
+            lanes=list(lanes), slots_np=np.array(slots_np),
+            rids=[self.running[s].rid for s in lanes],
+            slots_dev=slots_dev, samp_dev=samp_dev, aids_dev=aids_dev,
+            keys_dev=keys_dev,
+        )
 
     def _maybe_finish(self, slot: int) -> None:
         r = self.running.get(slot)

@@ -318,7 +318,7 @@ class SeqShardedEngine(Engine):
                     for c in locals_
                 ]
                 return (
-                    _sample_packed(logits, samp, key),
+                    _sample_packed(logits, samp, key, positions + 1),
                     [_restack(c) for c in locals_],
                 )
 
