@@ -25,20 +25,21 @@ def _make_cache(dtype, kvh=2, d=64, page=16, total=64, max_seqs=4, maxp=16):
     return cache.assign_pages(jnp.asarray(tables))
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "float32", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "float32", "int8", "int4", "fp8"])
 def test_write_prompt_roundtrip(rng, dtype):
     cache = _make_cache(dtype)
     k = _rand(rng, 2, 50, 64)  # ragged (not page multiple)
     v = _rand(rng, 2, 50, 64)
     cache = cache.write_prompt(1, k, v)
     kr, vr = cache.gather_kv(1, 50)
-    tol = {"bfloat16": 1e-2, "float32": 1e-6, "int8": 2e-2, "int4": 0.35}[dtype]
+    tol = {"bfloat16": 1e-2, "float32": 1e-6, "int8": 2e-2, "int4": 0.35,
+           "fp8": 0.25}[dtype]
     np.testing.assert_allclose(kr, k, atol=tol)
     np.testing.assert_allclose(vr, v, atol=tol)
     assert int(cache.lengths[1]) == 50
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4", "fp8"])
 def test_append_roundtrip(rng, dtype):
     cache = _make_cache(dtype)
     k0 = _rand(rng, 2, 20, 64)
@@ -49,12 +50,12 @@ def test_append_roundtrip(rng, dtype):
     cache = cache.append(jnp.array([0]), k1, v1)
     assert int(cache.lengths[0]) == 21
     kr, _ = cache.gather_kv(0, 21)
-    tol = {"bfloat16": 1e-2, "int8": 2e-2, "int4": 0.35}[dtype]
+    tol = {"bfloat16": 1e-2, "int8": 2e-2, "int4": 0.35, "fp8": 0.25}[dtype]
     np.testing.assert_allclose(kr[:, 20], k1[0], atol=tol)
     np.testing.assert_allclose(kr[:, :20], k0, atol=tol)
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "float32", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "float32", "int8", "int4", "fp8"])
 def test_paged_attention_vs_oracle(rng, dtype):
     kvh, d, g = 2, 64, 4  # 8 q heads, GQA group 4
     qh = kvh * g
@@ -66,7 +67,8 @@ def test_paged_attention_vs_oracle(rng, dtype):
     q = _rand(rng, 3, qh, d)
     o = paged.paged_attention(q, cache, jnp.arange(3), pages_bound=8)
 
-    tol = {"bfloat16": 3e-2, "float32": 2e-2, "int8": 3e-2, "int4": 3e-2}[dtype]
+    tol = {"bfloat16": 3e-2, "float32": 2e-2, "int8": 3e-2, "int4": 3e-2,
+           "fp8": 3e-2}[dtype]
     for s, n in enumerate(lens):
         kf, vf = cache.gather_kv(s, n)  # dequantized: matched-bitwidth oracle
         # expand kv heads to q heads (GQA)
@@ -113,7 +115,7 @@ def test_decode_loop_append_then_attend(rng):
         )
 
 
-@pytest.mark.parametrize("dtype", ["float32", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["float32", "int8", "int4", "fp8"])
 @pytest.mark.parametrize("pos0", [0, 15, 16, 31])
 def test_fused_append_attention_matches_separate(rng, dtype, pos0):
     """paged_attention(new_kv=...) must be bit-identical to append() followed

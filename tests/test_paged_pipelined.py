@@ -62,7 +62,7 @@ def _populated_cache(dtype, lens, *, kvh=2, d=64, page=16):
     return dataclasses.replace(cache, **kw)
 
 
-@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4", "fp8"])
 @pytest.mark.parametrize("chunk_pages", [1, 2, 4])
 def test_matches_v1(dtype, chunk_pages):
     lens = [37, 16, 50]
@@ -78,7 +78,7 @@ def test_matches_v1(dtype, chunk_pages):
 
 
 @pytest.mark.parametrize("rank1", [False, True])
-@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4", "fp8"])
 def test_append_matches_v1(dtype, rank1):
     lens = [37, 16, 50, 15]  # incl. page-boundary tail (16 → new page? no:
     # 16 % 16 == 0 → next token starts page 1; 15 → fills page 0)

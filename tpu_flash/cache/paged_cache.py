@@ -36,11 +36,17 @@ class CacheConfig:
     total_pages: int = 1024
     max_seqs: int = 64
     max_pages_per_seq: int = 128
-    dtype: str = "bfloat16"  # bfloat16 | float32 | int8 | int4
+    dtype: str = "bfloat16"  # bfloat16 | float32 | int8 | int4 | fp8
+    # ("fp8" ≡ float8_e4m3fn pages + per-token f32 scales, same scale
+    # machinery as int8; in-kernel dequant via the `_fp8_upcast` bit-trick)
 
     @property
     def quantized(self) -> bool:
-        return self.dtype in ("int8", "int4")
+        return self.dtype in ("int8", "int4", "fp8", "float8_e4m3fn")
+
+    @property
+    def fp8(self) -> bool:
+        return self.dtype in ("fp8", "float8_e4m3fn")
 
     @property
     def storage_head_dim(self) -> int:
@@ -48,6 +54,8 @@ class CacheConfig:
 
     @property
     def storage_dtype(self):
+        if self.fp8:
+            return jnp.float8_e4m3fn
         if self.quantized:
             return jnp.int8
         return jnp.dtype(self.dtype)
@@ -103,6 +111,9 @@ class PagedKVCache:
         cfg = self.config
         if cfg.dtype == "int8":
             qa = quantize(x, jnp.int8, axis=-1)
+            return qa.values, qa.scales[..., 0]
+        if cfg.fp8:
+            qa = quantize(x, jnp.float8_e4m3fn, axis=-1)
             return qa.values, qa.scales[..., 0]
         if cfg.dtype == "int4":
             qa = quantize_int4_halves(x, axis=-1)

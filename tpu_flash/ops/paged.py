@@ -31,6 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_flash.cache.paged_cache import PagedKVCache
 from tpu_flash.ops.flash import DEFAULT_MASK_VALUE, LN2, LOG2E, _interpret_default
 from tpu_flash.ops.schedule import cdiv
+from tpu_flash.quant.flash_q import _fp8_upcast
+
+_F8 = (jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2))
+
+
+def _deq_vals(x, dtype):
+    """Storage values → compute dtype. fp8 pages decode through the
+    `_fp8_upcast` bit-trick (Mosaic's fp8 astype lowering is slow —
+    quant/flash_q.py §8 notes); everything else is a plain astype."""
+    if jnp.dtype(x.dtype) in _F8:
+        x = _fp8_upcast(x)
+    return x.astype(dtype)
 
 _LANES = 128
 _NT = (((1,), (1,)), ((), ()))
@@ -44,6 +56,10 @@ def _encode_row(x, *, quantized: bool, int4: bool, out_dtype):
     Matches PagedKVCache._encode exactly (same clip ranges/eps)."""
     if not quantized:
         return x.astype(out_dtype), None
+    if jnp.dtype(out_dtype) in _F8:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-12) / 448.0
+        return (x / sc).astype(out_dtype), sc
     qmax = 7.0 if int4 else 127.0
     qmin = -8.0 if int4 else -127.0
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -151,8 +167,8 @@ def _paged_kernel(
 
         def merged_pages(pages_ref, vals):
             return jnp.where(
-                row_hit, vals.astype(wd)[:, None, None, :],
-                pages_ref[...].astype(wd),
+                row_hit, _deq_vals(vals, wd)[:, None, None, :],
+                _deq_vals(pages_ref[...], wd),
             )
 
         k_merged = merged_pages(k_ref, kn)
@@ -196,8 +212,8 @@ def _paged_kernel(
 
             k = _unpack(k)
             v = _unpack(v)
-        kf = k.astype(q.dtype)
-        vf = v.astype(q.dtype)
+        kf = _deq_vals(k, q.dtype)
+        vf = _deq_vals(v, q.dtype)
 
         # (kvh, G, d) x (kvh, page, d) -> (kvh, G, page), batched over heads
         s = lax.dot_general(
@@ -286,8 +302,8 @@ def _append_kernel(
               else jnp.float32)
         upd = jnp.where(
             row_hit[None],                        # (1, 1, page, 1)
-            vals.astype(wd)[:, None, None, :],    # (kh, 1, 1, stor)
-            old.astype(wd),
+            _deq_vals(vals, wd)[:, None, None, :],  # (kh, 1, 1, stor)
+            _deq_vals(old, wd),
         )
         pages_out[...] = upd.astype(pages_out.dtype)
         if scales_out is not None:
@@ -764,8 +780,8 @@ def _pipe_kernel(
 
             k = _unpack(k)
             v = _unpack(v)
-        kf = k.astype(q.dtype)
-        vf = v.astype(q.dtype)
+        kf = _deq_vals(k, q.dtype)
+        vf = _deq_vals(v, q.dtype)
         s = lax.dot_general(
             q, kf, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -822,8 +838,8 @@ def _pipe_kernel(
             vn_deq = jnp.concatenate(
                 [(v32 << 28) >> 28, v32 >> 4], axis=-1).astype(q.dtype)
         else:
-            kn_deq = kn.astype(q.dtype)
-            vn_deq = vn.astype(q.dtype)
+            kn_deq = _deq_vals(kn, q.dtype)
+            vn_deq = _deq_vals(vn, q.dtype)
         # score of the single new key: (kvh, G, d) · (kvh, d) → (kvh, G, 1)
         s_new = lax.dot_general(
             q, kn_deq[:, None, :], (((2,), (2,)), ((0,), (0,))),
@@ -869,10 +885,10 @@ def _pipe_kernel(
         wd = (jnp.int32 if jnp.issubdtype(ktail.dtype, jnp.integer)
               else jnp.float32)
         kp_out[0] = jnp.where(
-            row_hit, kn.astype(wd)[:, None, :], ktail[...].astype(wd)
+            row_hit, _deq_vals(kn, wd)[:, None, :], _deq_vals(ktail[...], wd)
         ).astype(kp_out.dtype)
         vp_out[0] = jnp.where(
-            row_hit, vn.astype(wd)[:, None, :], vtail[...].astype(wd)
+            row_hit, _deq_vals(vn, wd)[:, None, :], _deq_vals(vtail[...], wd)
         ).astype(vp_out.dtype)
 
     l = l_scr[:, :, :1]
@@ -1096,7 +1112,8 @@ def paged_attention_pipelined(
         # host-side scale scatter (b*kvh elements -- the 64-lane scale
         # pages can't be DMA-sliced in-kernel); formula matches
         # _encode_row exactly so reads reproduce the kernel's dequant.
-        qmax = 7.0 if int4 else 127.0
+        qmax = (448.0 if jnp.dtype(cache.k_pages.dtype) in _F8
+                else 7.0 if int4 else 127.0)
         offs = pos % page
 
         def _sc(x):
