@@ -30,3 +30,62 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Quick tier (VERDICT r4 item 8): `pytest -m quick` runs a curated smoke
+# subset touching EVERY module in < 2 minutes; the full suite is unchanged.
+# Keep one-to-a-few cheap, representative tests per file — correctness
+# breadth lives in the full suite, this tier is the inner-loop/judge smoke.
+# ---------------------------------------------------------------------------
+
+QUICK_TESTS = {
+    "test_allocator.py": {"test_admit_extend_free[native]",
+                          "test_native_backend_loads"},
+    "test_checkpoint.py": {"test_allocator_restore[True]"},
+    "test_determinism.py": {"test_forward_bitwise_deterministic[<lambda>0]"},
+    "test_edge_cases.py": {"test_causal_more_queries_than_keys",
+                           "test_windowed_fa_rejects_return_lse"},
+    "test_engine.py": {"test_greedy_decode_matches_full_forward"},
+    "test_engine_seq_sharded.py": {"test_seq_sharded_matches_single_cache[2]"},
+    "test_flash.py": {"test_dense_fa_matches_oracle[64-128]",
+                      "test_causal_fa[256]", "test_sliding_fa[256-65]",
+                      "test_circulant_fa[256-65]", "test_block_fa_1d[256-64]"},
+    "test_grad.py": {"test_dense_grad[256]", "test_causal_grad[256]"},
+    "test_graft_entry.py": {"test_entry_compiles"},
+    "test_lora.py": {"test_zero_bank_is_noop"},
+    "test_matmul.py": {"test_matmul_matches_jnp[shape0]", "test_matvec",
+                       "test_circulant_matmul_matches_dense"},
+    "test_moe.py": {"test_route_topk_invariants[1]",
+                    "test_moe_mlp_matches_reference[1]"},
+    "test_multihost.py": set(),  # spawns real processes — full tier only
+    "test_oracle.py": {"test_dense_dpa_matches_jax_sdpa[128-64]",
+                       "test_blockwise_causal"},
+    "test_paged.py": {"test_write_prompt_roundtrip[int8]",
+                      "test_paged_attention_vs_oracle[int8]"},
+    "test_paged_pipelined.py": {"test_matches_v1[2-int8]"},
+    "test_prefix_cache.py": {"test_admit_shared_refcounts[True]",
+                             "test_match_insert_chain[True]"},
+    "test_quant.py": {
+        "test_quantize_roundtrip_int8", "test_quantized_vs_f32_oracle_int8",
+        "test_quantized_dense_tensor_scale_matches_matched_oracle[float8_e4m3fn]"},
+    "test_ring.py": {"test_ring_dense", "test_merge_partials_associative"},
+    "test_ring_decode.py": {"test_sharded_decode_matches_single_cache[float32]"},
+    "test_serving_attn.py": {"test_serving_vs_oracle[int8-int8-token-0.06]",
+                             "test_serving_matched_bitwidth_contract"},
+    "test_softmax.py": {"test_matches_xla[shape0--1]",
+                        "test_rows_sum_to_one_col_axis"},
+    "test_speculative.py": {"test_spec_accept_greedy_onehot_limit"},
+    "test_supervisor.py": {"test_supervised_run_matches_plain_engine"},
+    "test_tp.py": {"test_tp_forward_matches_single_device"},
+    "test_ulysses.py": {"test_ulysses_dense"},
+    "test_vmem_model.py": {"test_measured_ok_configs_are_feasible[4096-2048-1]",
+                           "test_measured_rejects_are_pruned[4096-4096-1]"},
+    "test_wquant.py": {"test_weight_quant_logits_close"},
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in QUICK_TESTS.get(item.fspath.basename, ()):
+            item.add_marker(pytest.mark.quick)
