@@ -186,10 +186,14 @@ def suite_attention(quick: bool, stream: "str | None" = None) -> list[dict]:
         # quantization (flash_q: `q.astype(f32) * scale`). Scaling in bf16
         # (`q * sm_scale` on a bf16 q) rounds the quantizer input, flips
         # grid-boundary fp8/int8 codes, and mis-measures the kernel by up
-        # to ~1e-2 — the r3/r4 "dense_fp8 n=1024 d=128" failure row was
-        # largely THIS gate artifact (kernel-vs-matched-oracle ≈ 1.6e-3
-        # once both the gate input and the scale-folded Q operand were
-        # fixed, scripts/r5 bisection).
+        # to ~1e-2 — the r3/r4 "dense_fp8 n=1024 d=128" failure row
+        # (err 0.0155) was THIS gate artifact: against the correctly
+        # matched oracle the shipped kernel (scale-folded bf16 Q operand)
+        # measures 0.0026 at the same config. A per-row-score-scale/FMA
+        # kernel variant that removes the fold's ~1e-3 rounding entirely
+        # was built and measured SLOWER (int8 @8k 186.6 → 179.6 TFLOP/s —
+        # the fused fma breaks Mosaic's staged dot/exp2 overlap), so the
+        # fold stays (r5 bisection, logs/r5_exp1.jsonl A rows).
         if name == "dense_int8":
             deq = lambda x, dt, ax: qarray.dequantize(
                 qarray.quantize(x.astype(jnp.float32), dt, axis=ax))
@@ -509,6 +513,26 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16",
     log(f"  engine end-to-end: {new_tokens} tokens in {wall:.2f} s "
         f"→ {tps:.1f} tok/s (host loop includes tunnel latency)")
 
+    # Parity gate (VERDICT r4 item 9): the engine's reported per-token
+    # logprobs vs a teacher-forced full-forward recomputation of the same
+    # stream — bounds the whole serving stack's numeric drift (paged
+    # kernels + quantized cache) with one number per run.
+    f0 = next(f for f in done if f.rid == 0)
+    toks_arr = jnp.asarray([f0.tokens], jnp.int32)
+    lp_all = jax.nn.log_softmax(
+        tfm.forward(params, toks_arr, mcfg).astype(jnp.float32), axis=-1)
+    gen_ids = np.asarray(f0.tokens[prompt_len:], np.int64)
+    pos_idx = np.arange(len(gen_ids)) + prompt_len - 1
+    want_lp = np.asarray(lp_all[0])[pos_idx, gen_ids]
+    lp_err = float(np.max(np.abs(want_lp - np.asarray(f0.logprobs))))
+    lp_tol = {"bfloat16": 0.05, "float32": 0.02, "int8": 1.0, "fp8": 1.0,
+              "float8_e4m3fn": 1.0, "int4": 2.5}[cache_dtype]
+    log(f"  parity gate: max |Δlogprob| teacher-forced = {lp_err:.4f} "
+        f"(tol {lp_tol})")
+    if not lp_err <= lp_tol:
+        raise AssertionError(
+            f"decode parity gate: logprob drift {lp_err} > {lp_tol}")
+
     # Device-only decode step time (the number that scales): fixed token ids,
     # full batch, timed with the enqueue-K harness.
     slots = jnp.arange(16, dtype=jnp.int32)
@@ -558,6 +582,7 @@ def suite_decode(cache_dtype: str, quick: bool, weight_dtype: str = "bf16",
         "name": f"decode_{cache_dtype}_w{weight_dtype}"
                 + ("_pipelined" if pipelined else "")
                 + (f"_k{decode_steps}" if decode_steps > 1 else ""),
+        "logprob_err": round(lp_err, 4),
         "decode_steps": decode_steps,
         "tokens_per_s_e2e": round(tps, 1),
         "tokens_per_s_device": round(dev_tps, 1),

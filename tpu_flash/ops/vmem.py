@@ -143,7 +143,8 @@ def estimate_fwd_vmem(
     is_serving = q_mode in ("fp8", "int8") or kv_bytes == 1
     if is_serving:
         scratch += bhb * bq * d * (1 if q_mode == "int8" else 2)  # q_scr
-        scratch += bhb * bq * lanes * 4             # qs rows (all modes, r5)
+        if q_mode == "int8":
+            scratch += bhb * bq * lanes * 4         # qs rows
 
     if kv_resident_steps:
         # staged bf16 upcast tiles persist for the whole q sweep

@@ -102,15 +102,8 @@ def _sv_kernel(
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
-    q_scr = next(it)            # (bhb,bq,d): exact bf16 q (fp8/raw) or int8 q̂
-    # (bhb,bq,LANES) per-row score scale, ALL modes since r5: folding the
-    # row scale into a bf16 Q operand rounds every element to bf16 — the
-    # measured ≤1e-2 contract violation at small n (dense_fp8 n=1024
-    # d=128 err 0.0155, VERDICT r4 weak 1). The scale is applied on the
-    # f32 score tile instead; under the constant bound it fuses into the
-    # exp2 argument (raw·σ − m is one fma, same pass count as the
-    # subtract it replaces — and int8 LOSES its separate multiply pass).
-    qs_scr = next(it)
+    q_scr = next(it)            # (bhb,bq,d): bf16 deq q (fp8/raw) or int8 q̂
+    qs_scr = next(it) if q_mode == "int8" else None
     # kv_resident staging (DESIGN §21): the e4m3→bf16 upcast of every K/V
     # tile re-ran once per Q BLOCK — the measured fp8 floor term (§20,
     # ~1.07 ms @ bq1024 8k). With a dense schedule the kv tile at step s
@@ -166,20 +159,18 @@ def _sv_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
         for bb in range(bh_block):
             q = q_ref[bb].astype(jnp.float32)
-            # per-(batch,head) K scale folds into the ROW SCALES when not
-            # per-token (f32 — never into the bf16 operand, see qs_scr
-            # note above).
+            # per-(batch,head) K scale folds into the Q staging when not
+            # per-token — the score loop then has no dequant work at all.
             sk_fold = 1.0 if k_scaled else sk_ref[bb, 0, 0]
             if q_mode == "fp8":
                 amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
                 sq = jnp.maximum(amax, _EPS) / QMAX[
                     jnp.dtype(jnp.float8_e4m3fn)]
                 q8 = (q / sq).astype(jnp.float8_e4m3fn)
-                # exact: bf16 holds every e4m3 value; no scale folded
-                q_scr[bb] = _fp8_upcast(q8)
-                qs_scr[bb] = jnp.broadcast_to(
-                    sq * (scale * LOG2E) * sk_fold, qs_scr.shape[1:]
+                qd = _fp8_upcast(q8).astype(jnp.float32) * (
+                    sq * (scale * LOG2E) * sk_fold
                 )
+                q_scr[bb] = qd.astype(jnp.bfloat16)
             elif q_mode == "int8":
                 amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
                 sq = jnp.maximum(amax, _EPS) / 127.0
@@ -190,10 +181,8 @@ def _sv_kernel(
                     sq * (scale * LOG2E) * sk_fold, qs_scr.shape[1:]
                 )
             else:
-                q_scr[bb] = q.astype(jnp.bfloat16)  # bf16 in → exact
-                qs_scr[bb] = jnp.broadcast_to(
-                    jnp.float32(scale * LOG2E) * sk_fold,
-                    qs_scr.shape[1:]).astype(jnp.float32)
+                q_scr[bb] = (
+                    q * (scale * LOG2E * sk_fold)).astype(jnp.bfloat16)
             if bound_max:
                 # Cauchy-Schwarz row bound on the kernel's score operand:
                 # any upper bound keeps online softmax exact (an exponent
@@ -203,7 +192,8 @@ def _sv_kernel(
                 # §10/§11; constant-bound upgrade §22).
                 qop = q_scr[bb].astype(jnp.float32)
                 qb = jnp.sqrt(jnp.sum(qop * qop, axis=-1, keepdims=True))
-                qb = qb * qs_scr[bb, :, :1]
+                if q_mode == "int8":
+                    qb = qb * qs_scr[bb, :, :1]
                 m_scr[bb] = jnp.broadcast_to(
                     qb * (gk_ref[bb, 0, 0] * 1.0001), m_scr.shape[1:])
 
@@ -220,14 +210,13 @@ def _sv_kernel(
     csz = bkv // kv_split  # sub-tile width along kv
 
     def _qk(j, bb=0):
-        """RAW score sub-tile j of row bb: (bq, csz) — pure value, no
-        writes. The per-row score scale (qs_scr) is applied in ``_merge``
-        (fused into the exp2 argument under the constant bound)."""
+        """Score sub-tile j of row bb: (bq, csz) — pure value, no writes."""
         if q_mode == "int8":
             k = k_ref[bb, j * csz:(j + 1) * csz]
-            sij = lax.dot_general(
+            raw = lax.dot_general(
                 q_scr[bb], k, _NT_DIMS, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
+            sij = raw * qs_scr[bb, :, :1]
         else:
             # NOTE (r4, logs/r4_exp8.jsonl): folding the per-token K scale
             # into the (csz, d) operand instead of the (bq, csz) score
@@ -267,13 +256,12 @@ def _sv_kernel(
         )
 
     def _merge(sijs, bb, masked):
-        """Online-softmax merge + PV for row ``bb`` given its staged RAW
-        score sub-tiles (pure values — every MXU dot feeding this was
-        issued before any of its VPU work is consumed). The per-row score
-        scale is applied here: under the constant bound it fuses into the
-        exp2 argument (raw·σ − m, one fma); the exact-max path scales
-        before its max pass (one multiply — what int8 always paid)."""
-        b_col = qs_scr[bb, :, :1]
+        """Online-softmax merge + PV for row ``bb`` given its staged score
+        sub-tiles (pure values — every MXU dot feeding this was issued
+        before any of its VPU work is consumed)."""
+        if masked:
+            sijs = [_apply_mask(sij, j * csz, csz) for j, sij in
+                    enumerate(sijs)]
         if isolate == "dots":
             acc = acc_scr[bb]
             for j, sij in enumerate(sijs):
@@ -288,30 +276,17 @@ def _sv_kernel(
             # no l/acc rescale
             m_next = m_prev
             alpha = None
-            if isolate == "noexp":
-                ps = [(sij * b_col - m_next) * (1.0 / 4096.0)
-                      for sij in sijs]
-            else:
-                args = [sij * b_col - m_next for sij in sijs]
-                if masked:
-                    args = [_apply_mask(a, j * csz, csz)
-                            for j, a in enumerate(args)]
-                ps = [jnp.exp2(a) for a in args]
         else:
-            sijs = [sij * b_col for sij in sijs]
-            if masked:
-                sijs = [_apply_mask(sij, j * csz, csz) for j, sij in
-                        enumerate(sijs)]
             m_curr = jnp.max(sijs[0], axis=-1, keepdims=True)
             for sij in sijs[1:]:
                 m_curr = jnp.maximum(
                     m_curr, jnp.max(sij, axis=-1, keepdims=True))
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            if isolate == "noexp":
-                ps = [(sij - m_next) * (1.0 / 4096.0) for sij in sijs]
-            else:
-                ps = [jnp.exp2(sij - m_next) for sij in sijs]
+        if isolate == "noexp":
+            ps = [(sij - m_next) * (1.0 / 4096.0) for sij in sijs]
+        else:
+            ps = [jnp.exp2(sij - m_next) for sij in sijs]
         l_next = l_prev if bound_max else alpha * l_prev
         if isolate == "nosum":
             l_next = l_next + 1.0
@@ -400,10 +375,8 @@ def _sv_kernel_t(
     it = iter(refs)
     qn_ref = next(it) if bound_max else None   # (1,8,bq) effective-q norms
     gk_ref = next(it) if bound_max else None   # (1,1,1) global k̂-norm max
-    # (1,8,bq) per-row score scales, ALL modes (exact Q operand + scale on
-    # the score tile — the r5 contract fix, see _sv_kernel qs_scr note)
-    qs_ref = next(it)
-    q_ref = next(it)            # (1,bq,d) int8 q̂ or exact bf16 q
+    qs_ref = next(it) if q_mode == "int8" else None  # (1,8,bq) q scales
+    q_ref = next(it)            # (1,bq,d) int8 q̂ or bf16 scale-folded q
     k_ref = next(it)            # (1,bkv,d) cache-resident k̂
     vte_ref = next(it)          # (1,dv+1,bkv) v̂ᵀ with ones row
     sk_ref = next(it) if k_scaled else None    # (1,bkv,1) per-token K scales
@@ -439,16 +412,11 @@ def _sv_kernel_t(
         return st
 
     def _update(st):
-        # st is RAW; the per-row score scale (1, bq lane vector) applies
-        # here — fused into the exp2 argument under the constant bound.
-        qs = qs_ref[0][:1]
         m_prev = m_scr[:1]
-        if bound_max:
-            p = jnp.exp2(st * qs - m_prev).astype(jnp.bfloat16)
-        else:
-            st = st * qs
-            m_next = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
-            p = jnp.exp2(st - m_next).astype(jnp.bfloat16)
+        p = jnp.exp2(st - m_prev if bound_max
+                     else st - jnp.maximum(
+                         m_prev, jnp.max(st, axis=0, keepdims=True))
+                     ).astype(jnp.bfloat16)
         vf = (_fp8_upcast(vte_ref[0]) if fp8_kv
               else vte_ref[0].astype(jnp.bfloat16))
         pv = lax.dot_general(
@@ -458,6 +426,7 @@ def _sv_kernel_t(
         if bound_max:
             acc_scr[...] = acc_scr[...] + pv
         else:
+            m_next = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
             alpha = jnp.exp2(m_prev - m_next)
             acc_scr[...] = acc_scr[...] * alpha + pv
             m_scr[:1] = m_next
@@ -465,9 +434,10 @@ def _sv_kernel_t(
     def _scores():
         k = k_ref[0]
         if q_mode == "int8":
-            st = lax.dot_general(
+            raw = lax.dot_general(
                 k, q_ref[0], _NT_DIMS, preferred_element_type=jnp.int32
             ).astype(jnp.float32)  # (bkv, bq)
+            st = raw * qs_ref[0][:1]
         else:
             # operand-side K-scale folding measured SLOWER here too
             # (logs/r4_exp8.jsonl d=64 rows; see _sv_kernel._qk note)
@@ -666,34 +636,33 @@ def serving_flash_attention(
         # ---- Q-side staging in XLA (see _sv_kernel_t docstring) ----
         q32 = qf.astype(jnp.float32)
         if k_scaled:
-            sk_fold = jnp.ones((bh, 1, 1), jnp.float32)
+            sk_fold = jnp.float32(1.0)
         else:
             # per-(batch,head) K scale folds into the Q staging
             skb = kq.scales.reshape(b, hkv, 1)
             sk_fold = jnp.broadcast_to(skb[:, :, None], (b, hkv, g, 1)
                                        ).reshape(bh, 1, 1)
-        # Exact Q operand + per-row f32 score scale for EVERY mode (the
-        # r5 contract fix — see _sv_kernel qs_scr note): int8 q̂, exact
-        # fp8 upcast, or the bf16 input itself; scale·log2e·σ_k ride the
-        # (bh, nq_pad) scale rows, never a bf16 operand rounding.
         if q_mode == "int8":
             amax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
             sq = jnp.maximum(amax, _EPS) / 127.0
             q_op = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
             qs_row = (sq * (scale * LOG2E) * sk_fold)[..., 0]  # (bh, nq_pad)
-        elif q_mode == "fp8":
-            amax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
-            sq = jnp.maximum(amax, _EPS) / QMAX[
-                jnp.dtype(jnp.float8_e4m3fn)]
-            q_op = _fp8_upcast((q32 / sq).astype(jnp.float8_e4m3fn))
-            qs_row = (sq * (scale * LOG2E) * sk_fold)[..., 0]
+            qn_row = jnp.sqrt(jnp.sum(
+                q_op.astype(jnp.float32) ** 2, axis=-1)) * qs_row
         else:
-            q_op = qf.astype(jnp.bfloat16)
-            qs_row = jnp.broadcast_to(
-                (jnp.float32(scale * LOG2E) * sk_fold)[..., 0],
-                (bh, sched.n_q_pad)).astype(jnp.float32)
-        qn_row = jnp.sqrt(jnp.sum(
-            q_op.astype(jnp.float32) ** 2, axis=-1)) * qs_row
+            if q_mode == "fp8":
+                amax = jnp.max(jnp.abs(q32), axis=-1, keepdims=True)
+                sq = jnp.maximum(amax, _EPS) / QMAX[
+                    jnp.dtype(jnp.float8_e4m3fn)]
+                q8 = (q32 / sq).astype(jnp.float8_e4m3fn)
+                qd = _fp8_upcast(q8).astype(jnp.float32) * (
+                    sq * (scale * LOG2E) * sk_fold)
+            else:
+                qd = q32 * (scale * LOG2E) * sk_fold
+            q_op = qd.astype(jnp.bfloat16)
+            qs_row = None
+            qn_row = jnp.sqrt(jnp.sum(
+                q_op.astype(jnp.float32) ** 2, axis=-1))
         # V̂ᵀ with a ones row: the softmax denominator rides the PV dot;
         # its dequant row scale is 1.0.
         vte = jnp.concatenate(
@@ -714,10 +683,10 @@ def serving_flash_attention(
             ]
             t_specs += [lane_q_spec, pl.BlockSpec(
                 (1, 1, 1), lambda bb, i, s: (kv_row(bb), 0, 0))]
-        # per-row score scales: every mode (see _sv_kernel_t qs_ref note)
-        t_ops.append(jnp.broadcast_to(
-            qs_row[:, None, :], (bh, 8, sched.n_q_pad)))
-        t_specs.append(lane_q_spec)
+        if q_mode == "int8":
+            t_ops.append(jnp.broadcast_to(
+                qs_row[:, None, :], (bh, 8, sched.n_q_pad)))
+            t_specs.append(lane_q_spec)
         t_ops += [q_op, k_vals, vte]
         t_specs += [
             pl.BlockSpec((1, bq, d), lambda bb, i, s: (bb, i, 0)),
@@ -816,9 +785,9 @@ def serving_flash_attention(
         pltpu.VMEM((bhb, bq, dv), jnp.float32),
         pltpu.VMEM(
             (bhb, bq, d), jnp.int8 if q_mode == "int8" else jnp.bfloat16),
-        # per-row score scales — every mode (see _sv_kernel qs_scr note)
-        pltpu.VMEM((bhb, bq, _LANES), jnp.float32),
     ]
+    if q_mode == "int8":
+        scratch.append(pltpu.VMEM((bhb, bq, _LANES), jnp.float32))
     if kv_resident:
         if q_mode != "int8":
             scratch.append(pltpu.VMEM(
