@@ -141,8 +141,14 @@ def part_e():
     h, d, n, b = 8, 128, 8192, 4
     q, k, v = make_qkv(b, h, n, d)
     fl = attention_flops(b, h, n, n, d)
-    grid = [(4096, 2048, 1), (2048, 2048, 1), (2048, 2048, 2),
-            (1024, 2048, 4), (1024, 1024, 4), (1024, 1024, 8)]
+    # includes longer-inner-loop configs (smaller bkv → more kv steps per
+    # grid instance): the 8k residual decomposed to the DOT chain, not the
+    # VPU (int8 dots-only 194.8 @8k vs 213.4 @32k, B rows) — suspicion is
+    # per-instance pipeline ramp over the short 4-step kv loop.
+    grid = [(4096, 2048, 1), (4096, 1024, 1), (2048, 2048, 1),
+            (2048, 2048, 2), (2048, 1024, 2), (2048, 1024, 4),
+            (1024, 2048, 4), (1024, 1024, 4), (1024, 1024, 8),
+            (8192, 1024, 1)]
     for dt, ks, qdt in [("float8_e4m3fn", "tensor", "float8_e4m3fn"),
                         ("int8", "token", "int8")]:
         for bq, bkv, bhb in grid:

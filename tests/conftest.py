@@ -46,14 +46,14 @@ QUICK_TESTS = {
     "test_determinism.py": {"test_forward_bitwise_deterministic[<lambda>0]"},
     "test_edge_cases.py": {"test_causal_more_queries_than_keys",
                            "test_windowed_fa_rejects_return_lse"},
-    "test_engine.py": {"test_greedy_decode_matches_full_forward"},
+    "test_engine.py": {"test_pages_released_after_completion"},
     "test_engine_seq_sharded.py": {"test_seq_sharded_matches_single_cache[2]"},
     "test_flash.py": {"test_dense_fa_matches_oracle[64-128]",
                       "test_causal_fa[256]", "test_sliding_fa[256-65]",
                       "test_circulant_fa[256-65]", "test_block_fa_1d[256-64]"},
     "test_grad.py": {"test_dense_grad[256]", "test_causal_grad[256]"},
     "test_graft_entry.py": {"test_entry_compiles"},
-    "test_lora.py": {"test_zero_bank_is_noop"},
+    "test_lora.py": {"test_engine_without_bank_rejects_adapter_requests"},
     "test_matmul.py": {"test_matmul_matches_jnp[shape0]", "test_matvec",
                        "test_circulant_matmul_matches_dense"},
     "test_moe.py": {"test_route_topk_invariants[1]",
@@ -76,7 +76,7 @@ QUICK_TESTS = {
     "test_softmax.py": {"test_matches_xla[shape0--1]",
                         "test_rows_sum_to_one_col_axis"},
     "test_speculative.py": {"test_spec_accept_greedy_onehot_limit"},
-    "test_supervisor.py": {"test_supervised_run_matches_plain_engine"},
+    "test_supervisor.py": {"test_checkpoint_rotation"},
     "test_tp.py": {"test_tp_forward_matches_single_device"},
     "test_ulysses.py": {"test_ulysses_dense"},
     "test_vmem_model.py": {"test_measured_ok_configs_are_feasible[4096-2048-1]",

@@ -344,8 +344,13 @@ def suite_backward(quick: bool, stream: "str | None" = None) -> list[dict]:
     # dense-only backward rows said nothing about the sparse paths).
     win = 1025
 
-    def _variants(n):
+    def _variants(n, d):
         yield "dense_fwd_bwd", (lambda q, k, v: tf.dense_fa(q, k, v)), 1.0
+        if d > 64:
+            # int8 dp-dot backward (bwd_quant='dp') — the route past the
+            # 5-dot structural bound (DESIGN §23); d ≤ 64 ignores the flag
+            yield "dense_fwd_bwd_dpq", (
+                lambda q, k, v: tf.dense_fa(q, k, v, bwd_quant="dp")), 1.0
         yield "causal_fwd_bwd", (
             lambda q, k, v: tf.dense_fa(q, k, v, causal=True)), 0.5
         if n > win:
@@ -361,7 +366,7 @@ def suite_backward(quick: bool, stream: "str | None" = None) -> list[dict]:
         k = _rand(rng, b, h, n, d)
         v = _rand(rng, b, h, n, d)
 
-        for name, attn, cov in _variants(n):
+        for name, attn, cov in _variants(n, d):
             @jax.jit
             def fwdbwd(q, k, v, _attn=attn):
                 def loss(q, k, v):

@@ -542,17 +542,33 @@ def serving_flash_attention(
     b, h, n_q, d = q.shape
     hkv, n_kv = kq.values.shape[1], kq.values.shape[2]
     dv = vq.values.shape[-1]
-    # Measured defaults (v5e, logs/r3_exp3.jsonl): at d=128 large Q blocks
-    # amortize the per-q-block K/V dequant/upcast (the fp8 headline's real
-    # cost — DESIGN §20): bq 1024→4096 moves fp8 155.5→169.1 TFLOP/s and
-    # int8 165.5→174.0. The d≤64 transposed layout measured best at
-    # 1024/2048 (logs/r3_exp1.jsonl).
+    if h % hkv:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {hkv}")
+    # Measured defaults (v5e):
+    # * int8 Q·int8 cache at d>64 under MHA: SQUARE 1024² tiles with deep
+    #   bh packing — the constant-bound × bhb8 corner the r4 sweep never
+    #   measured (its bound upgrade postdated the packing grid) runs
+    #   195.3 TFLOP/s @8k (99.1% of the bf16 peak) and 209.8 @32k vs
+    #   187.6/200.5 at the old bq4096/bkv2048 (logs/r5_exp1.jsonl E,
+    #   r5_exp3.jsonl eager rows). Packed rows hide the int8 path's short
+    #   VPU chain under 8 independent rows' dots, and small tiles shrink
+    #   the per-instance state the r5_exp1 D-ladder measured at ~10 µs.
+    # * fp8/weight-only at d=128 keep large Q blocks: they amortize the
+    #   per-q-block K/V upcast (DESIGN §20-21) and their E-row frontier
+    #   is flat (171-174) with argmax at bq4096/bkv2048.
+    # * d≤64 transposed layout: 1024/2048 (logs/r3_exp1.jsonl).
+    int8_mha_fast = (
+        q_dtype is not None and jnp.dtype(q_dtype) == jnp.int8
+        and d > 64 and h == hkv and (b * h) % 8 == 0
+        and not pv_quant and kv_split == 1 and not isolate
+        and kv_resident is not True and bound_max is not False)
+    if block_q is None and block_kv is None and bh_block is None \
+            and int8_mha_fast:
+        block_q, block_kv, bh_block = 1024, 1024, 8
     if block_q is None:
         block_q = 4096 if d > 64 else 1024
     if block_kv is None:
         block_kv = 2048
-    if h % hkv:
-        raise ValueError(f"q heads {h} not a multiple of kv heads {hkv}")
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
