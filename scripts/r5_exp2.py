@@ -97,6 +97,9 @@ def part_a():
         fl = attention_flops(b, h, n, n, d, backward=True)
         want = oracle_grads(q, k, v)
         for mode in (None, "dp"):
+            measure(f"A.dense.n{n}.{mode}.default",
+                    functools.partial(tf.dense_fa, bwd_quant=mode),
+                    q, k, v, fl, want)
             for bq, bkv in ((1024, 1024), (2048, 2048)):
                 measure(f"A.dense.n{n}.{mode}.bq{bq}",
                         functools.partial(tf.dense_fa, bwd_quant=mode,
@@ -113,22 +116,32 @@ def part_a():
 
 
 def part_b():
-    b, h, n, d, win = 4, 8, 8192, 128, 1025
+    # canonical backward shape (b=1 h=8 — suite_backward's): the band
+    # grad oracle at b=4 blocked the tunnel for 30 min (r5 log 00:02).
+    # Gate the DEFAULT config against the oracle; sweep configs gate
+    # against the default backward's grads (cheap, still catches a
+    # wrong-tiling kernel).
+    b, h, n, d, win = 1, 8, 8192, 128, 1025
     cov = win / n
     q, k, v = mkqkv(b, h, n, d)
     fl = attention_flops(b, h, n, n, d, backward=True, coverage=cov)
     for name, attn_f, kw in [
             ("sliding", tf.sliding_fa, {"window_size": win}),
-            ("circulant", tf.circulant_fa, {"window_size": win, "wrap": True})]:
+            ("circulant", tf.circulant_fa, {"window_size": win,
+                                            "wrap": True})]:
         want = oracle_grads(q, k, v, **kw)
         base = functools.partial(attn_f, window_size=win)
+        t0 = measure(f"B.{name}.default", base, q, k, v, fl, want)
+        if t0 is None:
+            continue
+        ref = jax.block_until_ready(fwdbwd_fn(base)(q, k, v))
         for bq, bkv in ((512, 512), (512, 1024), (256, 512)):
             for bhb in (None, 4, 8):
                 tag = f"B.{name}.bq{bq}.bkv{bkv}.bhb{bhb or 'auto'}"
                 from tpu_flash.ops import flash as flash_mod
                 with flash_bwd.force_bwd_band_tile(bq, bkv), \
                         flash_mod.force_bh_block(bhb):
-                    measure(tag, base, q, k, v, fl, want)
+                    measure(tag, base, q, k, v, fl, ref, tol=5e-3)
         # dp quant at the default band config
         measure(f"B.{name}.dp",
                 functools.partial(attn_f, window_size=win, bwd_quant="dp"),
@@ -136,7 +149,7 @@ def part_b():
 
 
 def part_c():
-    b, h, n, d, win = 4, 8, 8192, 64, 1025
+    b, h, n, d, win = 1, 8, 8192, 64, 1025
     cov = win / n
     q, k, v = mkqkv(b, h, n, d)
     fl = attention_flops(b, h, n, n, d, backward=True, coverage=cov)
@@ -149,7 +162,7 @@ def part_c():
 
 
 def part_d(best_bq=512, best_bkv=1024, best_bhb=8):
-    b, h, n, d, win = 4, 8, 8192, 128, 1025
+    b, h, n, d, win = 1, 8, 8192, 128, 1025
     cov = win / n
     q, k, v = mkqkv(b, h, n, d)
     fl = attention_flops(b, h, n, n, d, backward=True, coverage=cov)
@@ -164,6 +177,9 @@ def part_d(best_bq=512, best_bkv=1024, best_bhb=8):
 
 
 if __name__ == "__main__":
+    import jax.numpy as _jnp
+    x = _jnp.ones((256, 256), _jnp.bfloat16)
+    print("warmup:", float((x @ x).sum()), file=sys.stderr, flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "a"):
         part_a()

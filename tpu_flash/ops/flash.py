@@ -990,8 +990,12 @@ def _flash_fwd(
         # 1024x1024 = 169.3 vs 159.0 TFLOP/s, logs/r4_exp3.jsonl) — the
         # VMEM model prunes over-packed combinations. Masked causal keeps
         # the conservative 2 MB cap (unmeasured at deep packing).
-        cap = ((16 << 20) if (not sched.has_mask or isinstance(
-            sched, (LocalSchedule, CirculantSchedule))) else (2 << 20))
+        # mask-free dense allows 32 MB of live score tiles so the 2048×
+        # 1024 default packs to bhb4 (its r5 argmax); bands keep 16 MB,
+        # masked causal the conservative 2 MB (unmeasured at deep packing)
+        cap = ((32 << 20) if not sched.has_mask else
+               (16 << 20) if isinstance(
+                   sched, (LocalSchedule, CirculantSchedule)) else (2 << 20))
         if _BH_BLOCK_OVERRIDE is not None:
             if bh % _BH_BLOCK_OVERRIDE == 0:
                 bhb = _BH_BLOCK_OVERRIDE
@@ -1257,15 +1261,17 @@ def flash_attention(
     hq, hkv = q.shape[1], k.shape[1]
     if hq % hkv:
         raise ValueError(f"q heads {hq} not a multiple of kv heads {hkv}")
-    # Measured defaults (v5e, logs/r4_exp3.jsonl): mask-free dense runs
-    # best at square 1024x1024 tiles with deep bh packing (169.3 vs 159.0
-    # TFLOP/s @8k d=128, 176.0 vs 157.3 @32k); every other schedule keeps
-    # the r2/r3-measured 1024/2048.
+    # Measured defaults (v5e): mask-free bf16 dense runs best at
+    # 2048×1024 tiles with bh packing 4 — 177.1 @8k / 181.1 @16k /
+    # 189.8 @32k d=128 vs 175.4/187.7 at the r4 square-1024 default
+    # (logs/r5_exp4.jsonl A + A32 rows; r4 history: logs/r4_exp3.jsonl).
+    # Every other schedule keeps the r2/r3-measured 1024/2048.
+    bf16_dense = (schedule == "dense" and q_dtype is None
+                  and kv_dtype is None)
     if block_q is None:
-        block_q = 1024
+        block_q = 2048 if bf16_dense else 1024
     if block_kv is None:
-        block_kv = 1024 if schedule == "dense" and q_dtype is None \
-            and kv_dtype is None else 2048
+        block_kv = 1024 if bf16_dense else 2048
     if q_dtype is not None or kv_dtype is not None:
         # Quantized route: every schedule and N-d wrapper gains FP8/INT8
         # through this one dispatch (kv_dtype alone = weight-only mode).

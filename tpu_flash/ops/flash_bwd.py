@@ -692,11 +692,13 @@ def flash_backward(
         if bh % _flash._BH_BLOCK_OVERRIDE == 0:
             bhb = _flash._BH_BLOCK_OVERRIDE
     elif sched.has_mask:  # band/causal schedules; dense auto stays unpacked
-        # 4 MB cap: measured best at bq=bkv=512 is bhb=4 (49.9 → 59.5
-        # TFLOP/s covered, logs/r3_exp2.jsonl D); bhb=8 there (8 MB of
-        # live score tiles) fails to compile on v5e.
+        # 8 MB cap: the r5 frontier (logs/r5_exp2.jsonl B rows) measured
+        # bhb8 at 512x512 as the band-backward argmax (71.5 vs 69.4
+        # covered TFLOP/s at the old bhb4/4 MB cap — that cap dated from
+        # the fixed-grant era, where 8 MB of live score tiles failed to
+        # compile; demand-sized grants lifted it).
         while (bhb < 8 and bh % (bhb * 2) == 0
-               and bq * bkv * 4 * (bhb * 2) <= (4 << 20)):
+               and bq * bkv * 4 * (bhb * 2) <= (8 << 20)):
             bhb *= 2
     if bhb > 1:
         split = 1  # bh staging subsumes the sub-tile staging
