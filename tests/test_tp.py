@@ -128,6 +128,6 @@ def test_tp_forward_moe_matches_single_device():
     # the same discontinuity is DESIGN §16's drop-free rule). Bound the
     # FRACTION of flipped positions, not the max.
     err = jnp.max(jnp.abs(got - ref), axis=-1)  # per (batch, token)
-    frac_flipped = float(jnp.mean((err > 5e-2).astype(jnp.float32)))
-    assert frac_flipped <= 0.02, frac_flipped
+    flipped = int(jnp.sum(err > 5e-2))  # of 48 tokens
+    assert flipped <= 2, (flipped, float(jnp.max(err)))
     assert float(jnp.max(jnp.abs(got - ref))) < 2.0  # flips stay bounded
