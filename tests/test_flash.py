@@ -224,6 +224,38 @@ def test_band_pipeline_matches_blockspec_path(rng, case):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("case", ["sliding", "sliding_causal", "circulant",
+                                  "ragged"])
+def test_band_elem_offset_matches_blockspec_path(rng, case):
+    """The r5 element-offset band variant (kv slab starts at the block's
+    exact band_lo via a dynamic pl.ds DMA offset — DESIGN §22 re-probe)
+    computes the same online softmax: outputs and lse match the BlockSpec
+    path. The ragged case exercises the end-of-sequence slab clamp, where
+    early slabs can fall fully below the band and must be skipped."""
+    from tpu_flash.ops import flash
+
+    b, h, d, w = 1, 2, 64, 129
+    n = 1000 if case == "ragged" else 1024
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+               for _ in range(3))
+    kw = dict(block_q=256, block_kv=256)
+    fn = {
+        "sliding": lambda: flash.sliding_fa(q, k, v, w, return_lse=True, **kw),
+        "ragged": lambda: flash.sliding_fa(q, k, v, w, return_lse=True, **kw),
+        "sliding_causal": lambda: flash.sliding_fa(
+            q, k, v, w, causal=True, return_lse=True, **kw),
+        "circulant": lambda: flash.circulant_fa(
+            q, k, v, w, return_lse=True, **kw),
+    }[case]
+    with flash.force_bound_max(False):
+        with flash.band_pipeline(True, sub=256, elem=True):
+            o_p, lse_p = fn()
+        o_s, lse_s = fn()
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_s),
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("schedule,kw,okw", [
     ("local", dict(radius=128), dict(window_size=257)),
     ("causal", {}, dict(causal=True)),

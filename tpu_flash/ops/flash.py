@@ -80,19 +80,37 @@ _BAND_PIPELINE: Optional[bool] = None
 _BAND_SUB: int = 512
 
 
+_BAND_ELEM: bool = False
+
+
 @contextlib.contextmanager
-def band_pipeline(on: Optional[bool], sub: Optional[int] = None):
+def band_pipeline(on: Optional[bool], sub: Optional[int] = None,
+                  elem: Optional[bool] = None):
     """Force the Local/Circulant forward through the in-step pipelined
-    kernel (:func:`_fwd_kernel_band`). For A/B experiments."""
-    global _BAND_PIPELINE, _BAND_SUB
-    prev, prev_sub = _BAND_PIPELINE, _BAND_SUB
+    kernel (:func:`_fwd_kernel_band`). For A/B experiments.
+
+    ``elem=True`` additionally starts each q block's kv slab at its exact
+    band start via an ELEMENT-granular ``pl.ds`` DMA offset instead of an
+    aligned tile index — the capability r3's Mosaic could not compile
+    (DESIGN §22) and the round-5 probe showed the current libtpu can
+    (logs/r5_band_probe.jsonl). Cuts the aligned-tile coverage inflation
+    (~2.5× at the shipped sliding default) to ~1×.
+
+    Jit-cache hazard (like the other trace-time diagnostic globals here):
+    the flags are captured at trace time, so a function jitted inside the
+    context keeps its setting after exit.
+    """
+    global _BAND_PIPELINE, _BAND_SUB, _BAND_ELEM
+    prev, prev_sub, prev_e = _BAND_PIPELINE, _BAND_SUB, _BAND_ELEM
     _BAND_PIPELINE = on
     if sub is not None:
         _BAND_SUB = sub
+    if elem is not None:
+        _BAND_ELEM = elem
     try:
         yield
     finally:
-        _BAND_PIPELINE, _BAND_SUB = prev, prev_sub
+        _BAND_PIPELINE, _BAND_SUB, _BAND_ELEM = prev, prev_sub, prev_e
 
 
 _ISOLATE = ""
@@ -370,6 +388,7 @@ def _fwd_kernel_band(
     rel_hi: int,
     hq: int,
     hkv: int,
+    elem: bool = False,  # element-granular kv slab start (DESIGN §22 r5)
 ):
     """Band forward with the kv stream hand-pipelined INSIDE one grid step.
 
@@ -410,8 +429,19 @@ def _fwd_kernel_band(
     q_hi = jnp.minimum(q_lo + bq - 1, sched.n_q - 1)
     band_lo = jnp.maximum(q_lo + rel_lo, 0)
     band_hi = jnp.minimum(q_hi + rel_hi, kv_len - 1)
-    t0 = band_lo // sub
-    s0 = t0 * sub
+    if elem:
+        # Near-element slab: start at band_lo aligned DOWN to 8 rows (the
+        # HBM memref is (8,128)-tiled; Mosaic must PROVE the dynamic slice
+        # offset divisible by 8 — the (x//8)*8 form is what its analysis
+        # accepts; a raw element offset fails to compile). Clamped so all
+        # num_tiles sub-slabs stay inside [0, kvp) — no per-tile clamping,
+        # so no duplicated kv rows to re-mask. The dispatcher budgets the
+        # ≤7 alignment rows into num_tiles and guarantees
+        # kvp >= num_tiles * sub.
+        s0 = jnp.minimum((band_lo // 8) * 8, kvp - num_tiles * sub)
+    else:
+        t0 = band_lo // sub
+        s0 = t0 * sub
 
     m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -421,17 +451,29 @@ def _fwd_kernel_band(
         return s0 + t * sub
 
     def dma(t, slot, bb, which):
-        # K/V arrive TILE-POOLED: (rows, kvp//sub, sub, d). The DMA indexes
-        # the tile dim with a dynamic SCALAR — a dynamic `pl.ds` offset on
-        # an ANY-space source crashes this libtpu's Mosaic compile outright
-        # (bisected r3; the paged kernels' per-page DMAs are scalar-indexed
-        # for the same reason). Clamped index: always legal, so issue/wait
-        # run unconditionally and stay symmetric.
-        tidx = jnp.minimum(t0 + t, n_tiles_total - 1)
+        # Tile mode: K/V arrive TILE-POOLED (rows, kvp//sub, sub, d) and
+        # the DMA indexes the tile dim with a dynamic SCALAR — on the r3
+        # libtpu a dynamic `pl.ds` offset on an ANY-space source crashed
+        # Mosaic's compile (bisected r3; the paged kernels' per-page DMAs
+        # are scalar-indexed for the same reason). Clamped index: always
+        # legal, so issue/wait run unconditionally and stay symmetric.
+        # Elem mode (r5 — the current libtpu compiles it, probe P1/P2):
+        # K/V arrive FLAT (rows, kvp, d) and the slab starts at the
+        # element-granular s0 + t*sub, in-range by construction.
         src, dst = ((k_any, kbuf) if which == 0 else (v_any, vbuf))
         row = kv_row(g0 * bh_block + bb)
+        if elem:
+            # s0 % 8 == 0 by construction and sub % 8 == 0; Mosaic cannot
+            # derive that through the (x//8)*8 arithmetic, so assert it
+            # with the multiple_of hint (the (8,128)-tiled HBM memref
+            # requires a provably 8-divisible slice offset).
+            off8 = pl.multiple_of(s0 + t * sub, 8)
+            src_slab = src.at[row, pl.ds(off8, sub)]
+        else:
+            tidx = jnp.minimum(t0 + t, n_tiles_total - 1)
+            src_slab = src.at[row, tidx]
         return pltpu.make_async_copy(
-            src.at[row, tidx],
+            src_slab,
             dst.at[slot, bb],
             sems.at[slot, which, bb],
         )
@@ -458,7 +500,14 @@ def _fwd_kernel_band(
         wait(t, slot)
         off = off_of(t)
 
-        @pl.when(off <= band_hi)
+        # Elem mode's end-of-sequence clamp can park EARLY slabs fully
+        # below band_lo; skip those too (tile mode: s0 ≤ band_lo always,
+        # the first slab always intersects).
+        live = (off <= band_hi)
+        if elem:
+            live &= off + sub - 1 >= band_lo
+
+        @pl.when(live)
         def _compute():
             def _qk(bb):
                 return lax.dot_general(
@@ -575,6 +624,25 @@ def _flash_fwd_band(
         raise ValueError(f"band sub-tile {sub} must divide n_kv_pad "
                          f"{sched.n_kv_pad}")
     num_tiles = _band_tiles(sched, sub, rel_lo, rel_hi)
+    elem = _BAND_ELEM
+    if elem and (d % _LANES or dv % _LANES):
+        # A flat ANY-space source at d < 128 lane-pads its memref; Mosaic
+        # rejects sub-lane-tile slices of it ("slice shape along dim 2
+        # must be aligned to tiling (128)"). d ≤ 64 bands take the
+        # standard packed kernel anyway (_SMALL_D_STANDARD, r4).
+        elem = False
+    if elem:
+        # Near-exact slab count: the widest per-block band is
+        # bq + rel_hi - rel_lo rows, plus ≤7 rows of sublane alignment
+        # (the slab start rounds down to 8 — see _fwd_kernel_band). The
+        # packing win appears when bq is chosen so this lands just under
+        # a sub multiple (e.g. bq=496, r=512, sub=512 → 3 slabs vs the
+        # aligned-tile worst case of 4).
+        nt_elem = -(-(bq + rel_hi - rel_lo + 7) // sub)
+        if nt_elem * sub <= sched.n_kv_pad:
+            num_tiles = min(nt_elem, num_tiles)
+        else:
+            elem = False  # short kv: slab window would overrun; tile mode
 
     g = hq // hkv
     bhb = 1
@@ -591,7 +659,7 @@ def _flash_fwd_band(
     kernel = functools.partial(
         _fwd_kernel_band, sched=sched, sub=sub, num_tiles=num_tiles,
         bh_block=bhb, need_lse=need_lse, rel_lo=rel_lo, rel_hi=rel_hi,
-        hq=hq, hkv=hkv,
+        hq=hq, hkv=hkv, elem=elem,
     )
     if need_lse:
         lse_spec = pl.BlockSpec((bhb, bq, _LANES), lambda b, i: (b, i, 0))
@@ -601,8 +669,11 @@ def _flash_fwd_band(
         lse_shape = jax.ShapeDtypeStruct((bh, 1, _LANES), jnp.float32)
 
     bhkv = k.shape[0]
-    kt = k.reshape(bhkv, sched.n_kv_pad // sub, sub, d)
-    vt = v.reshape(bhkv, sched.n_kv_pad // sub, sub, dv)
+    if elem:
+        kt, vt = k, v  # flat (rows, kvp, d): the DMA slices element spans
+    else:
+        kt = k.reshape(bhkv, sched.n_kv_pad // sub, sub, d)
+        vt = v.reshape(bhkv, sched.n_kv_pad // sub, sub, dv)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
